@@ -1,0 +1,106 @@
+"""Multi-chip tests on the CPU-emulated 8-device mesh: ShardedVolume halo and
+gather paths, data-parallel matrix batches — all asserted against the
+single-chip kernel (and transitively against scipy)."""
+
+import numpy as np
+import pytest
+
+import voltools_tpu as vt
+from voltools_tpu.parallel import (
+    ShardedVolume,
+    halo_for_matrix,
+    make_mesh,
+    sharded_affine_batch,
+)
+from voltools_tpu.utils import rotation_matrix, transform_matrix, translation_matrix
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def volume():
+    rng = np.random.default_rng(99)
+    return rng.random((64, 24, 24)).astype(np.float32)
+
+
+def test_mesh_has_8_devices(mesh):
+    assert mesh.devices.size == 8
+
+
+def test_halo_estimation(volume):
+    m = translation_matrix((2.0, 0.0, 0.0))
+    h = halo_for_matrix(volume.shape, m, "linear")
+    assert h is not None and 3 <= h <= 4
+    # rotation about axis 1 swaps axes 0 and 2: source z spans the volume
+    big = rotation_matrix((0.0, 90.0, 0.0), "deg", "sxyz")
+    h_big = halo_for_matrix(volume.shape, big, "linear")
+    assert h_big is None or h_big > 8
+
+
+@pytest.mark.parametrize("interpolation", ["linear", "filt_bspline"])
+def test_sharded_local_transform(mesh, volume, interpolation):
+    """Small translation -> halo-exchange path; must equal single-chip."""
+    sv = ShardedVolume(volume, interpolation=interpolation, mesh=mesh)
+    m = transform_matrix(translation=(1.3, -0.8, 0.4),
+                         rotation=(0, 0, 2.0), rotation_order="rzxz",
+                         center=np.divide(np.subtract(volume.shape, 1), 2))
+    assert halo_for_matrix(volume.shape, m, interpolation) is not None
+    got = sv.affine(m)
+    expected = vt.affine(volume, m, interpolation=interpolation, device="jax")
+    np.testing.assert_allclose(got, expected, atol=3e-5)
+
+
+@pytest.mark.parametrize("interpolation", ["linear", "bspline"])
+def test_sharded_global_transform(mesh, volume, interpolation):
+    """Large rotation -> all-gather path; must equal single-chip."""
+    sv = ShardedVolume(volume, interpolation=interpolation, mesh=mesh)
+    m = transform_matrix(rotation=(70.0, 30.0, -10.0), rotation_order="rzxz",
+                         center=np.divide(np.subtract(volume.shape, 1), 2))
+    got = sv.affine(m)
+    expected = vt.affine(volume, m, interpolation=interpolation, device="jax")
+    np.testing.assert_allclose(got, expected, atol=3e-5)
+
+
+def test_sharded_edge_semantics(mesh, volume):
+    """Content pushed past the global edge must vanish, not wrap between
+    shards (ring-permute wraparound must not leak)."""
+    sv = ShardedVolume(volume, mesh=mesh)
+    m = translation_matrix((5.0, 0.0, 0.0))  # shift content +5 along axis 0
+    got = sv.affine(m)
+    expected = vt.affine(volume, m, device="jax")
+    np.testing.assert_allclose(got, expected, atol=3e-5)
+    assert np.allclose(got[:5], 0.0, atol=1e-6)
+
+
+def test_sharded_output_device(mesh, volume):
+    import jax
+    sv = ShardedVolume(volume, mesh=mesh)
+    res = sv.affine(np.eye(4, dtype=np.float32), output="device")
+    assert isinstance(res, jax.Array)
+    np.testing.assert_allclose(np.asarray(res), volume, atol=1e-6)
+
+
+def test_sharded_validation(mesh):
+    with pytest.raises(ValueError):
+        ShardedVolume(np.zeros((63, 8, 8), np.float32), mesh=mesh)  # 63 % 8
+    with pytest.raises(ValueError):
+        ShardedVolume(np.zeros((8, 8), np.float32), mesh=mesh)
+
+
+def test_sharded_affine_batch(mesh, volume):
+    ms = np.stack([rotation_matrix((a, 0, 0), "deg", "rzxz")
+                   for a in np.linspace(0, 35, 8)])
+    got = sharded_affine_batch(volume, ms, mesh=mesh)
+    assert got.shape == (8,) + volume.shape
+    for i in (0, 3, 7):
+        expected = vt.affine(volume, ms[i], device="jax")
+        np.testing.assert_allclose(got[i], expected, atol=3e-5)
+
+
+def test_sharded_batch_validation(mesh, volume):
+    ms = np.stack([np.eye(4, dtype=np.float32)] * 3)  # 3 % 8 != 0
+    with pytest.raises(ValueError):
+        sharded_affine_batch(volume, ms, mesh=mesh)

@@ -1,0 +1,182 @@
+"""End-to-end transform tests: every interpolation mode, on both the scipy
+CPU path and the JAX path, asserted against scipy.ndimage.affine_transform —
+the implicit oracle the reference used for eyeball checks
+(``tests/test_devices.py``), made automatic."""
+
+import numpy as np
+import pytest
+from scipy.ndimage import affine_transform
+
+import voltools_tpu as vt
+from voltools_tpu.utils import transform_matrix
+
+INTERPOLATIONS = vt.AVAILABLE_INTERPOLATIONS
+SCIPY_PARAMS = {
+    "linear": (1, False),
+    "bspline": (3, False),
+    "bspline_simple": (3, False),
+    "filt_bspline": (3, True),
+    "filt_bspline_simple": (3, True),
+}
+
+
+def random_matrix(seed=0, shape=(17, 19, 23)):
+    rng = np.random.default_rng(seed)
+    center = np.divide(np.subtract(shape, 1), 2)
+    return transform_matrix(
+        scale=1.0 + 0.2 * rng.standard_normal(3),
+        shear=0.05 * rng.standard_normal(3),
+        rotation=rng.uniform(-180, 180, 3),
+        rotation_order="rzxz",
+        translation=rng.uniform(-2, 2, 3),
+        center=center,
+    )
+
+
+@pytest.mark.parametrize("interpolation", INTERPOLATIONS)
+@pytest.mark.parametrize("device", ["cpu", "jax"])
+def test_affine_matches_scipy(small_volume, interpolation, device):
+    m = random_matrix(7, small_volume.shape)
+    order, prefilter = SCIPY_PARAMS[interpolation]
+    expected = affine_transform(small_volume, m, order=order,
+                                prefilter=prefilter)
+    got = vt.affine(small_volume, m, interpolation=interpolation,
+                    device=device)
+    assert got.shape == small_volume.shape
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(got, expected, atol=2e-5)
+
+
+@pytest.mark.parametrize("device", ["cpu", "jax"])
+def test_transform_rotation_roundtrip(cube_volume, device):
+    """Rotating +90 then -90 degrees about z must return the original volume
+    (interior voxels; corners leave the domain)."""
+    once = vt.transform(cube_volume, rotation=(90, 0, 0),
+                        rotation_order="rzxz", device=device)
+    back = vt.transform(once, rotation=(-90, 0, 0),
+                        rotation_order="rzxz", device=device)
+    c = 6  # trim the rotation-clipped corners
+    np.testing.assert_allclose(back[c:-c, c:-c, c:-c],
+                               cube_volume[c:-c, c:-c, c:-c], atol=1e-4)
+
+
+@pytest.mark.parametrize("device", ["cpu", "jax"])
+def test_translate_shifts_content(device):
+    vol = np.zeros((8, 8, 8), np.float32)
+    vol[2, 3, 4] = 1.0
+    out = vt.translate(vol, (1.0, 2.0, -1.0), device=device)
+    assert out[3, 5, 3] == pytest.approx(1.0, abs=1e-6)
+    assert out.sum() == pytest.approx(1.0, abs=1e-5)
+
+
+@pytest.mark.parametrize("device", ["cpu", "jax"])
+def test_scale_uniform_float(small_volume, device):
+    got = vt.scale(small_volume, 2.0, device=device)
+    expected = affine_transform(small_volume, np.diag([2.0, 2.0, 2.0, 1.0]),
+                                order=1, prefilter=False)
+    np.testing.assert_allclose(got, expected, atol=2e-5)
+
+
+@pytest.mark.parametrize("device", ["cpu", "jax"])
+def test_rotate_about_origin(small_volume, device):
+    """Bare rotate() rotates about the origin, not the center."""
+    from voltools_tpu.utils import rotation_matrix
+    m = rotation_matrix((30, 15, -10), "deg", "rzxz")
+    expected = affine_transform(small_volume, m, order=1, prefilter=False)
+    got = vt.rotate(small_volume, (30, 15, -10), device=device)
+    np.testing.assert_allclose(got, expected, atol=2e-5)
+
+
+@pytest.mark.parametrize("device", ["cpu", "jax"])
+def test_reshape_keeps_all_content(device):
+    """reshape=True grows the output so nothing is clipped."""
+    # integral translation: content reproduced exactly in the grown volume
+    vol = np.zeros((16, 16, 16), np.float32)
+    vol[6:10, 6:10, 6:10] = 1.0
+    out = vt.translate(vol, (8.0, 0.0, 0.0), reshape=True, device=device)
+    assert out.shape[0] >= 24
+    np.testing.assert_allclose(out.sum(), vol.sum(), rtol=1e-5)
+
+    # 45-degree rotation: without reshape the corner blob clips away; with
+    # reshape the blob survives (sum changes only by interpolation blur)
+    vol2 = np.zeros((16, 16, 16), np.float32)
+    vol2[1:5, 1:5, 1:5] = 1.0
+    m = transform_matrix(rotation=(45, 0, 0), rotation_order="rzxz",
+                         center=(7.5, 7.5, 7.5))
+    clipped = vt.affine(vol2, m, reshape=False, device=device)
+    grown = vt.affine(vol2, m, reshape=True, device=device)
+    assert all(o >= i for o, i in zip(grown.shape, vol2.shape))
+    assert clipped.sum() < 0.95 * vol2.sum()  # some content clips away
+    assert grown.sum() > clipped.sum()
+    np.testing.assert_allclose(grown.sum(), vol2.sum(), rtol=0.1)
+
+
+@pytest.mark.parametrize("device", ["cpu", "jax"])
+def test_reshape_matches_scipy_shape(small_volume, device):
+    m = random_matrix(3, small_volume.shape)
+    got_cpu = vt.affine(small_volume, m, reshape=True, device="cpu")
+    got_dev = vt.affine(small_volume, m, reshape=True, device=device)
+    assert got_cpu.shape == got_dev.shape
+    np.testing.assert_allclose(got_cpu, got_dev, atol=2e-5)
+
+
+def test_output_numpy_fill(small_volume):
+    m = random_matrix(5, small_volume.shape)
+    for device in ("cpu", "jax"):
+        out = np.empty_like(small_volume)
+        ret = vt.affine(small_volume, m, output=out, device=device)
+        assert ret is None
+        expected = vt.affine(small_volume, m, device=device)
+        np.testing.assert_allclose(out, expected, atol=1e-6)
+
+
+def test_output_device(small_volume):
+    import jax
+    m = random_matrix(5, small_volume.shape)
+    res = vt.affine(small_volume, m, output="device", device="jax")
+    assert isinstance(res, jax.Array)
+    np.testing.assert_allclose(np.asarray(res),
+                               vt.affine(small_volume, m, device="jax"),
+                               atol=1e-6)
+
+
+def test_input_never_mutated(small_volume):
+    before = small_volume.copy()
+    m = random_matrix(9, small_volume.shape)
+    vt.affine(small_volume, m, device="jax")
+    np.testing.assert_array_equal(small_volume, before)
+
+
+def test_validation_errors(small_volume):
+    with pytest.raises(ValueError):
+        vt.affine(small_volume, np.eye(4), interpolation="nearest")
+    with pytest.raises(ValueError):
+        vt.affine(small_volume, np.eye(4), device="cuda")
+    with pytest.raises(ValueError):
+        vt.affine(small_volume[0], np.eye(4))
+    with pytest.raises(ValueError):
+        vt.affine(small_volume, np.eye(4), device="cpu", output="device")
+
+
+def test_profile_prints(small_volume, capsys):
+    vt.affine(small_volume, np.eye(4, dtype=np.float32), profile=True,
+              device="jax")
+    captured = capsys.readouterr()
+    assert "transform finished in" in captured.out
+    assert "ms" in captured.out
+
+
+def test_identity_is_exact(small_volume):
+    got = vt.affine(small_volume, np.eye(4, dtype=np.float32), device="jax")
+    np.testing.assert_array_equal(got, small_volume)
+
+
+@pytest.mark.parametrize("device", ["cpu", "jax"])
+def test_odd_sizes_prefilter(device, rng):
+    """The reference's prefilter launch geometry assumed power-of-two-friendly
+    shapes (general.py:9-33); ours must not."""
+    vol = rng.random((13, 7, 11)).astype(np.float32)
+    m = random_matrix(11, vol.shape)
+    expected = affine_transform(vol, m, order=3, prefilter=True)
+    got = vt.affine(vol, m, interpolation="filt_bspline", device=device)
+    np.testing.assert_allclose(got, expected, atol=3e-5)

@@ -1,0 +1,83 @@
+"""StaticVolume tests: parity with the one-shot API, prefilter-once caching,
+output semantics, batched transforms."""
+
+import numpy as np
+import pytest
+from scipy.ndimage import affine_transform
+
+import voltools_tpu as vt
+from voltools_tpu import StaticVolume
+from voltools_tpu.utils import rotation_matrix
+
+
+@pytest.mark.parametrize("interpolation", vt.AVAILABLE_INTERPOLATIONS)
+def test_static_volume_matches_one_shot(small_volume, interpolation):
+    sv = StaticVolume(small_volume, interpolation=interpolation, device="jax")
+    m = rotation_matrix((25.0, -40.0, 60.0), "deg", "rzxz")
+    got = sv.affine(m)
+    expected = vt.affine(small_volume, m, interpolation=interpolation,
+                         device="jax")
+    np.testing.assert_allclose(got, expected, atol=3e-5)
+
+
+def test_static_volume_matches_scipy(small_volume):
+    sv = StaticVolume(small_volume, interpolation="filt_bspline", device="jax")
+    m = rotation_matrix((25.0, -40.0, 60.0), "deg", "rzxz")
+    expected = affine_transform(small_volume, m, order=3, prefilter=True)
+    np.testing.assert_allclose(sv.affine(m), expected, atol=3e-5)
+
+
+def test_static_volume_cpu_delegates(small_volume):
+    sv = StaticVolume(small_volume, interpolation="linear", device="cpu")
+    m = rotation_matrix((10.0, 20.0, 30.0), "deg", "rzxz")
+    expected = vt.affine(small_volume, m, device="cpu")
+    np.testing.assert_allclose(sv.affine(m), expected, atol=1e-6)
+
+
+def test_static_volume_methods(cube_volume):
+    sv = StaticVolume(cube_volume, device="jax")
+    c = (np.asarray(cube_volume.shape) - 1) / 2
+    np.testing.assert_allclose(
+        sv.transform(rotation=(30, 0, 0), rotation_order="rzxz"),
+        vt.transform(cube_volume, rotation=(30, 0, 0), rotation_order="rzxz",
+                     center=c, device="jax"), atol=1e-5)
+    np.testing.assert_allclose(
+        sv.translate((1.0, -2.0, 0.5)),
+        vt.translate(cube_volume, (1.0, -2.0, 0.5), device="jax"), atol=1e-5)
+    np.testing.assert_allclose(
+        sv.scale(1.3), vt.scale(cube_volume, 1.3, device="jax"), atol=1e-5)
+    np.testing.assert_allclose(
+        sv.shear(0.1), vt.shear(cube_volume, 0.1, device="jax"), atol=1e-5)
+    np.testing.assert_allclose(
+        sv.rotate((15, 25, 35)),
+        vt.rotate(cube_volume, (15, 25, 35), device="jax"), atol=1e-5)
+
+
+def test_static_volume_output_semantics(small_volume):
+    import jax
+    sv = StaticVolume(small_volume, device="jax")
+    m = rotation_matrix((5.0, 0.0, 0.0), "deg", "rzxz")
+    buf = np.empty_like(small_volume)
+    assert sv.affine(m, output=buf) is None
+    np.testing.assert_allclose(buf, sv.affine(m), atol=1e-6)
+    dev = sv.affine(m, output="device")
+    assert isinstance(dev, jax.Array)
+
+
+def test_static_volume_batch(small_volume):
+    sv = StaticVolume(small_volume, device="jax")
+    ms = np.stack([rotation_matrix((a, 0, 0), "deg", "rzxz")
+                   for a in (0.0, 30.0, 60.0)])
+    batch = sv.affine_batch(ms)
+    assert batch.shape == (3,) + small_volume.shape
+    for i, m in enumerate(ms):
+        np.testing.assert_allclose(batch[i], sv.affine(m), atol=1e-5)
+
+
+def test_static_volume_validation(small_volume):
+    with pytest.raises(ValueError):
+        StaticVolume(small_volume[0], device="jax")
+    with pytest.raises(ValueError):
+        StaticVolume(small_volume, device="gpu:0")
+    with pytest.raises(ValueError):
+        StaticVolume(small_volume, interpolation="lanczos", device="jax")

@@ -1,0 +1,182 @@
+"""Cubic B-spline prefilter (samples -> interpolation coefficients).
+
+True cubic B-spline *interpolation* requires inverting the B-spline basis:
+a causal + anticausal first-order IIR per axis with pole ``p = sqrt(3) - 2``
+(the reference runs it as one CUDA thread per line,
+``voltools/kernels/bspline.h:30-99``).  A serial recurrence per line is
+hostile to TPU vector units, so this module provides two TPU-native
+formulations:
+
+* ``method='scan'`` — the recurrences expressed as
+  :func:`jax.lax.associative_scan` over first-order affine maps
+  ``y -> a*y + b`` (log-depth, exact IIR semantics, batched over the other
+  two axes).
+* ``method='fir'`` (default) — the composed causal+anticausal filter is an
+  LTI system with impulse response ``h[n] = sqrt(3) * p**|n|``; truncating at
+  ``|p|**K ~ 5e-11`` turns the prefilter into a banded Toeplitz matmul per
+  axis that runs on the MXU.  Numerically equal to the scan path well below
+  float32 resolution, and much faster.
+
+Boundary handling:
+
+* ``'mirror'``  — scipy-compatible (``scipy.ndimage.spline_filter`` uses
+  mirror boundaries for ``mode='constant'``); the default, so that
+  ``filt_bspline`` modes match ``scipy.ndimage.affine_transform`` exactly.
+* ``'clamp'``   — edge-replication, matching the reference GPU kernels'
+  initialisation (``bspline.h:7-19``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+POLE = float(np.sqrt(3.0) - 2.0)
+# gain of the causal/anticausal cascade: (1-p)(1-1/p)
+LAMBDA = float((1.0 - POLE) * (1.0 - 1.0 / POLE))
+# number of taps after which p**K is far below float32 resolution
+_HORIZON = 28
+_FIR_HALF_WIDTH = 18
+
+BOUNDARIES = ("mirror", "clamp")
+
+
+def _first_order_scan(b0, a_rest, b_rest, axis, reverse):
+    """Inclusive scan of y[n] = a[n]*y[n-1] + b[n] with y at the starting end
+    (first element, or last when ``reverse``) equal to ``b0``."""
+    if reverse:
+        a_rest = jnp.flip(a_rest, axis)
+        b_rest = jnp.flip(b_rest, axis)
+    a = jnp.concatenate([jnp.zeros_like(b0), a_rest], axis=axis)
+    b = jnp.concatenate([b0, b_rest], axis=axis)
+
+    def combine(left, right):
+        al, bl = left
+        ar, br = right
+        return ar * al, ar * bl + br
+
+    _, y = jax.lax.associative_scan(combine, (a, b), axis=axis)
+    if reverse:
+        y = jnp.flip(y, axis)
+    return y
+
+
+def _axis_slice(x, axis, start, size):
+    idx = [slice(None)] * x.ndim
+    idx[axis] = slice(start, start + size)
+    return x[tuple(idx)]
+
+
+def _causal_init(x, axis, boundary):
+    """Initial causal coefficient (pre-gain) for the IIR recursion."""
+    n = x.shape[axis]
+    # mirror reads x[1..h]; clamp reads x[0..h-1] so it can use all n samples
+    h = min(_HORIZON, n - 1 if boundary == "mirror" else n)
+    powers = POLE ** np.arange(1, h + 1, dtype=np.float64)
+    powers = jnp.asarray(powers.astype(np.float32))
+    x0 = _axis_slice(x, axis, 0, 1)
+    if h == 0:
+        return x0
+    if boundary == "mirror":
+        # mirror extension x[-k] = x[k]:  c0 = x0 + sum_k p^k x[k]
+        window = _axis_slice(x, axis, 1, h)
+    else:
+        # clamp extension x[-1] = x[0]:  c0 = x0 + sum_k p^k x[k-1]
+        # (reference bspline.h:7-19, horizon-truncated)
+        window = _axis_slice(x, axis, 0, h)
+    shape = [1] * x.ndim
+    shape[axis] = h
+    contrib = jnp.sum(window * powers.reshape(shape), axis=axis, keepdims=True)
+    return x0 + contrib
+
+
+def prefilter_scan(volume, axis: int, boundary: str = "mirror"):
+    """One exact causal+anticausal IIR pass along ``axis``."""
+    n = volume.shape[axis]
+    if n < 2:
+        return volume
+    p = jnp.float32(POLE)
+    lam = jnp.float32(LAMBDA)
+
+    # causal: c[0] = lam * init;  c[k] = lam*x[k] + p*c[k-1]
+    x_rest = _axis_slice(volume, axis, 1, n - 1)
+    a_rest = jnp.full_like(x_rest, p)
+    c = _first_order_scan(lam * _causal_init(volume, axis, boundary),
+                          a_rest, lam * x_rest, axis, reverse=False)
+
+    # anticausal: runs backwards, c'[k] = p*(c'[k+1] - c[k])
+    c_last = _axis_slice(c, axis, n - 1, 1)
+    if boundary == "mirror":
+        c_prev = _axis_slice(c, axis, n - 2, 1)
+        init = (p / (p * p - 1.0)) * (c_last + p * c_prev)
+    else:
+        init = (p / (p - 1.0)) * c_last  # reference bspline.h:21-28
+    c_rest = _axis_slice(c, axis, 0, n - 1)
+    a_rest = jnp.full_like(c_rest, p)
+    return _first_order_scan(init, a_rest, -p * c_rest, axis, reverse=True)
+
+
+@functools.lru_cache(maxsize=32)
+def _fir_matrix(n: int, half_width: int, boundary: str):
+    """Dense (n, n) matrix applying the truncated inverse-B-spline filter
+    with the boundary extension folded in.  h[k] = sqrt(3) * p^|k|."""
+    k = half_width
+    taps = np.sqrt(3.0) * POLE ** np.abs(np.arange(-k, k + 1, dtype=np.float64))
+    ext = np.zeros((n + 2 * k, n), dtype=np.float64)
+    for row in range(n + 2 * k):
+        src = row - k
+        if boundary == "mirror":
+            # periodic reflection (handles overhangs larger than one period,
+            # which small axes hit)
+            if n > 1:
+                src = src % (2 * (n - 1))
+                if src >= n:
+                    src = 2 * (n - 1) - src
+            else:
+                src = 0
+        else:
+            src = min(max(src, 0), n - 1)
+        ext[row, src] = 1.0
+    conv = np.zeros((n, n + 2 * k), dtype=np.float64)
+    for row in range(n):
+        conv[row, row:row + 2 * k + 1] = taps
+    # cache host-side: a cached jax constant would leak across jit traces
+    return (conv @ ext).astype(np.float32)
+
+
+def prefilter_fir(volume, axis: int, boundary: str = "mirror"):
+    """One prefilter pass along ``axis`` as a Toeplitz matmul (MXU path)."""
+    n = volume.shape[axis]
+    if n < 2:
+        return volume
+    w = jnp.asarray(_fir_matrix(n, _FIR_HALF_WIDTH, boundary))
+    moved = jnp.moveaxis(volume, axis, -1)
+    # 'highest' precision is required: the default matmul precision performs
+    # the f32 contraction through bf16 passes, which costs ~3 decimal digits
+    # and breaks scipy parity of the filtered coefficients.
+    out = jnp.einsum("...n,mn->...m", moved, w,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def bspline_prefilter(volume, boundary: str = "mirror", method: str = "fir"):
+    """Convert samples to cubic B-spline coefficients along all three axes.
+
+    Equivalent of the reference's three ``SamplesToCoefficients3D{X,Y,Z}``
+    launches (``transforms.py:290-309``), with no power-of-two shape
+    restriction (the reference's launch geometry assumed one,
+    ``general.py:9-33``).
+    """
+    if boundary not in BOUNDARIES:
+        raise ValueError(f"boundary must be one of {BOUNDARIES}")
+    # The FIR formulation assumes the boundary extension commutes with the
+    # causal/anticausal cascade, which holds for 'mirror' but not for the
+    # reference's clamped anticausal initialisation — use the exact scan there.
+    fn = prefilter_fir if (method == "fir" and boundary == "mirror") else prefilter_scan
+    for axis in range(volume.ndim):
+        volume = fn(volume, axis, boundary)
+    return volume

@@ -1,0 +1,184 @@
+"""StaticVolume: a device-resident volume for repeated transforms.
+
+TPU-native analogue of the reference's texture-resident ``StaticVolume``
+(``voltools/volume.py``): upload once, prefilter once (for ``filt_bspline*``),
+compile the sampler once — then every transform ships only a 4x4 matrix to
+the device (reference ``volume.py:70``), and optionally keeps the result on
+device (``output='device'``, the analogue of the caller-provided GPU buffer).
+
+Differences from the reference, by design:
+
+* The volume is an immutable ``jax.Array`` in HBM rather than a CUDA texture;
+  "compiled kernel + launch dims" become one cached jitted function.
+* ``affine_batch`` applies N matrices in one fused device program — the
+  batched sweep the reference benchmark loops in Python
+  (``tests/benchmark.py:59-65``) runs as a single launch here.
+* ``reshape`` is unsupported, as in the reference (``volume.py:14-16``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple, Union
+
+import numpy as np
+
+from .ops.interpolation import AVAILABLE_INTERPOLATIONS, needs_prefilter
+from .transforms import _as_triple, affine as _affine_fn
+from .utils import (
+    ProfileTimer,
+    get_available_devices,
+    resolve_device,
+    rotation_matrix,
+    scale_matrix,
+    shear_matrix,
+    transform_matrix,
+    translation_matrix,
+)
+
+Triple = Union[float, Tuple[float, float, float], np.ndarray]
+
+
+class StaticVolume:
+    """Keeps a (prefiltered) volume resident on a device for cheap repeated
+    transforms.  ``reshape`` is not available on this API (see module doc)."""
+
+    def __init__(self, data: np.ndarray, interpolation: str = "linear",
+                 device: str = "tpu", mode: str = "constant", cval: float = 0.0,
+                 prefilter_boundary: str = "mirror"):
+        if data.ndim != 3:
+            raise ValueError("Expected a 3D array")
+        if interpolation not in AVAILABLE_INTERPOLATIONS:
+            raise ValueError(
+                f"Interpolation must be one of {AVAILABLE_INTERPOLATIONS}")
+        available = get_available_devices()
+        if device not in available:
+            raise ValueError(
+                f"Unknown device ({device}), must be one of {available}")
+
+        self.device = device
+        self.interpolation = interpolation
+        self.mode = mode
+        self.cval = float(cval)
+        self.shape = tuple(data.shape)
+
+        if device == "cpu":
+            self.data = data
+            return
+
+        import jax
+        import jax.numpy as jnp
+
+        jdev = resolve_device(device)
+        vol = jax.device_put(jnp.asarray(data, jnp.float32), jdev)
+        if needs_prefilter(interpolation):
+            from .ops.prefilter import bspline_prefilter
+            vol = jax.jit(functools.partial(
+                bspline_prefilter, boundary=prefilter_boundary))(vol)
+        self.data = vol
+
+        interp = interpolation
+        m_mode, m_cval = mode, self.cval
+        from .transforms import _pick_impl
+        impl = _pick_impl(jdev)
+
+        def _sample(volume, matrix):
+            if impl == "pallas":
+                from .kernels.pallas_affine import affine_sample_pallas
+                return affine_sample_pallas(volume, matrix, interp, m_mode,
+                                            m_cval, prefiltered=True)
+            from .ops.sampling import affine_sample
+            return affine_sample(volume, matrix, interp, m_mode, m_cval,
+                                 prefiltered=True)
+
+        self._sampler = jax.jit(_sample)
+        self._batch_sampler = jax.jit(jax.vmap(_sample, in_axes=(None, 0)))
+        # warm the compile so the first .affine() call is launch-only
+        self._sampler(self.data, jnp.eye(4, dtype=jnp.float32))
+
+    # ------------------------------------------------------------------ core
+
+    def affine(self, transform_m: np.ndarray, profile: bool = False,
+               output=None) -> Union[np.ndarray, None]:
+        """Apply a 4x4 pull-back matrix.  Per-call host->device traffic is the
+        matrix only (reference ``volume.py:61-91``)."""
+        if self.device == "cpu":
+            return _affine_fn(self.data, transform_m,
+                              interpolation=self.interpolation,
+                              profile=profile, output=output, device="cpu")
+
+        import jax.numpy as jnp
+        timer = ProfileTimer() if profile else None
+        if timer:
+            timer.__enter__()
+        try:
+            result = self._sampler(self.data,
+                                   jnp.asarray(transform_m, jnp.float32))
+            if isinstance(output, str) and output == "device":
+                return result
+            result.block_until_ready()
+        finally:
+            if timer:
+                timer.__exit__(None, None, None)
+        if output is None:
+            return np.asarray(result)
+        np.copyto(output, np.asarray(result))
+        return None
+
+    def affine_batch(self, transform_ms: np.ndarray, profile: bool = False,
+                     output=None):
+        """Apply a stack of N matrices in one device program; returns
+        (N, *shape).  TPU-only extension."""
+        if self.device == "cpu":
+            return np.stack([
+                _affine_fn(self.data, m, interpolation=self.interpolation,
+                           device="cpu") for m in transform_ms])
+        import jax.numpy as jnp
+        timer = ProfileTimer() if profile else None
+        if timer:
+            timer.__enter__()
+        try:
+            result = self._batch_sampler(
+                self.data, jnp.asarray(transform_ms, jnp.float32))
+            if isinstance(output, str) and output == "device":
+                return result
+            result.block_until_ready()
+        finally:
+            if timer:
+                timer.__exit__(None, None, None)
+        if output is None:
+            return np.asarray(result)
+        np.copyto(output, np.asarray(result))
+        return None
+
+    # ------------------------------------------------------------- transforms
+
+    def transform(self, scale: Triple = None, shear: Triple = None,
+                  rotation: Triple = None, rotation_units: str = "deg",
+                  rotation_order: str = "rzxz",
+                  translation: Triple = None, center: Triple = None,
+                  profile: bool = False, output=None):
+        if center is None:
+            center = np.divide(np.subtract(self.shape, 1), 2, dtype=np.float32)
+        m = transform_matrix(_as_triple(scale), _as_triple(shear), rotation,
+                             rotation_units, rotation_order, translation,
+                             center)
+        return self.affine(m, profile, output)
+
+    def translate(self, translation, profile: bool = False, output=None):
+        return self.affine(translation_matrix(translation), profile, output)
+
+    def shear(self, coefficients: Triple, profile: bool = False, output=None):
+        return self.affine(shear_matrix(_as_triple(coefficients)), profile,
+                           output)
+
+    def scale(self, coefficients: Triple, profile: bool = False, output=None):
+        return self.affine(scale_matrix(_as_triple(coefficients)), profile,
+                           output)
+
+    def rotate(self, rotation, rotation_units: str = "deg",
+               rotation_order: str = "rzxz", profile: bool = False,
+               output=None):
+        m = rotation_matrix(rotation=rotation, rotation_units=rotation_units,
+                            rotation_order=rotation_order)
+        return self.affine(m, profile, output)
