@@ -1,28 +1,30 @@
-"""Headline benchmark: 250^3 float32 linear transform on one TPU chip.
+"""Headline benchmark: resident-volume rotation of a 250^3 float32 volume.
+
+The metric mirrors BASELINE.json's StaticVolume configuration: a resident
+(device-side) 250^3 volume rotated about one axis with per-call traffic
+limited to the 4x4 matrix and the output kept on device — the reference's
+``static_vol_out`` column (8.768 ms per rotation on a GTX 1050 Ti at 250^3
+linear, BASELINE.md).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": <ms>, "unit": "ms", "vs_baseline": <speedup x>}
-
-Baseline: the reference's `cp_transform_out` column at 250^3 linear on a
-GTX 1050 Ti = 12.678 ms (BASELINE.md).  vs_baseline > 1 means faster than
-the reference.
+  {"metric": ..., "value": <ms per rotation>, "unit": "ms", "vs_baseline": <speedup x>}
 
 Timing method: this environment reaches the TPU through an RPC tunnel where
 ``block_until_ready`` returns before execution finishes and a host round-trip
 costs ~25 ms, so per-call wall timing is meaningless.  We time N dependent
-transforms chained inside one jitted loop (forcing a scalar to host at the
-end) and subtract the 1-iteration run: the slope is the true per-transform
-device time.  Run directly on attached hardware the same code gives the same
-numbers without the constant.
+kernel applications chained inside one jitted loop (forcing a scalar to host
+at the end) and subtract the 1-iteration run: the slope is the true
+per-transform device time.
 """
 
+import functools
 import json
 import sys
 import time
 
 import numpy as np
 
-BASELINE_MS = 12.678  # reference cp_transform_out, 250^3 linear, GTX 1050 Ti
+BASELINE_MS = 8.768  # reference static_vol_out, 250^3 linear (BASELINE.md)
 
 
 def main():
@@ -30,31 +32,31 @@ def main():
     import jax.numpy as jnp
 
     sys.path.insert(0, "/root/repo")
-    from voltools_tpu.transforms import _pick_impl
-    from voltools_tpu.utils import rotation_matrix
+    from voltools_tpu.kernels.pallas_affine import (
+        affine_sample_pallas_variant,
+        choose_variant,
+    )
+    from voltools_tpu.ops.sampling import affine_sample
+    from voltools_tpu.utils import transform_matrix
 
     size = 250
     rng = np.random.default_rng(0)
-    vol_np = rng.random((size, size, size), dtype=np.float64).astype(np.float32)
-    vol = jnp.asarray(vol_np)
+    vol = jnp.asarray(rng.random((size,) * 3, dtype=np.float64)
+                      .astype(np.float32))
+    center = ((size - 1) / 2,) * 3
+    m = transform_matrix(rotation=(60.0, 0.0, 0.0), rotation_order="rzxz",
+                         center=center)
+    mj = jnp.asarray(m.astype(np.float32))
 
-    m = rotation_matrix((32.0, 14.0, -7.0), "deg", "rzxz").astype(np.float32)
-    mj = jnp.asarray(m)
-
-    device = jax.devices()[0]
-    impl = _pick_impl(device)
-    if impl == "pallas":
-        from voltools_tpu.kernels.pallas_affine import affine_sample_pallas as sampler_fn
-
+    variant = choose_variant(m, vol.shape, "linear")
+    if variant is not None:
+        impl = "pallas"
         def sample(v, mat):
-            return sampler_fn(v, mat, "linear", "constant", 0.0)
-    else:
-        from voltools_tpu.ops.sampling import affine_sample
-
+            return affine_sample_pallas_variant(v, mat, variant, 0.0)
+    else:  # pragma: no cover - defensive fallback
+        impl = "xla"
         def sample(v, mat):
-            return affine_sample(v, mat, "linear", "constant", 0.0)
-
-    import functools
+            return affine_sample(v, mat, "linear")
 
     @functools.partial(jax.jit, static_argnames="n")
     def chained(n, v, mat):
@@ -64,8 +66,7 @@ def main():
         out, _ = jax.lax.fori_loop(0, n, body, (v, mat))
         return out.ravel()[0]
 
-    iters = 10
-    # warm both compilations
+    iters = 20
     float(chained(1, vol, mj))
     float(chained(iters, vol, mj))
 
@@ -77,12 +78,11 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t1 = run(1)
-    tn = run(iters)
-    per_call_ms = (tn - t1) / (iters - 1) * 1e3
+    per_call_ms = (run(iters) - run(1)) / (iters - 1) * 1e3
 
     print(json.dumps({
-        "metric": f"{size}^3 float32 linear affine transform ({impl})",
+        "metric": (f"StaticVolume {size}^3 f32 linear rotation, resident "
+                   f"volume, device output ({impl})"),
         "value": round(per_call_ms, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / per_call_ms, 2),

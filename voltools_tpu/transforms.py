@@ -88,17 +88,22 @@ def _affine_cpu(volume, transform_m, interpolation, reshape, output):
 
 @functools.lru_cache(maxsize=None)
 def _jitted_affine(interpolation: str, mode: str, cval: float,
-                   impl: str, device, out_shape=None):
+                   variant, device, out_shape=None):
     """Per-(config, device) compiled sampler; the volume and matrix stay as
-    traced arguments so repeated calls with new matrices reuse the binary."""
+    traced arguments so repeated calls with new matrices reuse the binary.
+    ``variant`` is a pallas kernel config (or None for the XLA path)."""
     import jax
 
     del device  # part of the cache key; placement is via device_put on args
 
     def run(volume, matrix):
-        if impl == "pallas" and out_shape is None:
-            from .kernels.pallas_affine import affine_sample_pallas
-            return affine_sample_pallas(volume, matrix, interpolation, mode, cval)
+        if variant is not None:
+            from .kernels.pallas_affine import affine_sample_pallas_variant
+            from .ops.interpolation import needs_prefilter
+            if needs_prefilter(interpolation):
+                from .ops.prefilter import bspline_prefilter
+                volume = bspline_prefilter(volume)
+            return affine_sample_pallas_variant(volume, matrix, variant, cval)
         from .ops.sampling import affine_sample
         return affine_sample(volume, matrix, interpolation, mode, cval,
                              out_shape=out_shape)
@@ -107,14 +112,22 @@ def _jitted_affine(interpolation: str, mode: str, cval: float,
 
 
 def _pick_impl(device) -> str:
+    """'pallas' on real accelerators, 'xla' on the CPU backend."""
     if device is not None and device.platform != "cpu":
-        try:
-            from .kernels.pallas_affine import PALLAS_AVAILABLE
-            if PALLAS_AVAILABLE:
-                return "pallas"
-        except Exception:
-            pass
+        return "pallas"
     return "xla"
+
+
+def select_variant(transform_m, vol_shape, interpolation, mode, device):
+    """Host-side pallas kernel config for a concrete matrix, or None."""
+    if _pick_impl(device) != "pallas":
+        return None
+    try:
+        from .kernels.pallas_affine import choose_variant
+        return choose_variant(np.asarray(transform_m, np.float64),
+                              vol_shape, interpolation, mode)
+    except Exception:
+        return None
 
 
 def _affine_jax(volume, transform_m, interpolation, reshape, output,
@@ -139,8 +152,11 @@ def _affine_jax(volume, transform_m, interpolation, reshape, output,
         out_shape = tuple(int(d) for d in new_dims)
 
     vol = jax.device_put(jnp.asarray(volume, jnp.float32), device)
-    impl = _pick_impl(device)
-    fn = _jitted_affine(interpolation, mode, float(cval), impl, device,
+    variant = None
+    if out_shape is None:
+        variant = select_variant(transform_m, vol.shape, interpolation, mode,
+                                 device)
+    fn = _jitted_affine(interpolation, mode, float(cval), variant, device,
                         out_shape)
     result = fn(vol, jnp.asarray(transform_m))
 

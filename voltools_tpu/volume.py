@@ -79,22 +79,35 @@ class StaticVolume:
 
         interp = interpolation
         m_mode, m_cval = mode, self.cval
-        from .transforms import _pick_impl
-        impl = _pick_impl(jdev)
+        self._jdev = jdev
 
         def _sample(volume, matrix):
-            if impl == "pallas":
-                from .kernels.pallas_affine import affine_sample_pallas
-                return affine_sample_pallas(volume, matrix, interp, m_mode,
-                                            m_cval, prefiltered=True)
             from .ops.sampling import affine_sample
             return affine_sample(volume, matrix, interp, m_mode, m_cval,
                                  prefiltered=True)
 
         self._sampler = jax.jit(_sample)
         self._batch_sampler = jax.jit(jax.vmap(_sample, in_axes=(None, 0)))
+        self._variant_samplers = {}
         # warm the compile so the first .affine() call is launch-only
         self._sampler(self.data, jnp.eye(4, dtype=jnp.float32))
+
+    def _device_sampler(self, transform_m):
+        """Pick the pallas fast path when the matrix qualifies (the data is
+        already prefiltered, so the kernel samples it directly)."""
+        from .transforms import select_variant
+        variant = select_variant(transform_m, self.shape, self.interpolation,
+                                 self.mode, self._jdev)
+        if variant is None:
+            return self._sampler
+        if variant not in self._variant_samplers:
+            import jax
+            from .kernels.pallas_affine import affine_sample_pallas_variant
+            cval = self.cval
+            self._variant_samplers[variant] = jax.jit(
+                lambda vol, m: affine_sample_pallas_variant(vol, m, variant,
+                                                            cval))
+        return self._variant_samplers[variant]
 
     # ------------------------------------------------------------------ core
 
@@ -108,12 +121,13 @@ class StaticVolume:
                               profile=profile, output=output, device="cpu")
 
         import jax.numpy as jnp
+        sampler = self._device_sampler(transform_m)
         timer = ProfileTimer() if profile else None
         if timer:
             timer.__enter__()
         try:
-            result = self._sampler(self.data,
-                                   jnp.asarray(transform_m, jnp.float32))
+            result = sampler(self.data,
+                             jnp.asarray(transform_m, jnp.float32))
             if isinstance(output, str) and output == "device":
                 return result
             result.block_until_ready()
