@@ -39,9 +39,10 @@ import numpy as np
 
 PALLAS_AVAILABLE = True
 
-_ROW_BUDGET_LINEAR = 256   # max window rows (select-tree size), order 1
+_ROW_BUDGET_LINEAR = 256   # max window rows for the unrolled select-tree
 _ROW_BUDGET_CUBIC = 160    # order 3 pays 16 row-taps per row-vreg
-_SUB_DRIFT_LIMIT = 0.95    # max |d x / d sublane| * 7 for the +-1 slop to hold
+_ROW_BUDGET_LOOP = 2048    # fori-loop tier: general rotations, bigger slabs
+_SUB_DRIFT_LIMIT = 6.0     # max |x drift| across 8 sublanes (slop taps cover it)
 
 
 @dataclass(frozen=True)
@@ -56,7 +57,8 @@ class Variant:
     out_d: Tuple[int, int, int]  # permuted output dims (grid, sub, lane)
     order: int                   # 1 = trilinear, 3 = cubic B-spline
     mode: str                    # 'constant' | 'border'
-    slop: bool                   # x drifts across sublanes -> widen dx taps
+    slop: int                    # |x drift| across the 8 sublanes, ceil'd
+    unroll: bool = True          # unrolled select-tree vs fori-loop tier
 
     @property
     def nv(self) -> int:
@@ -72,9 +74,11 @@ class Variant:
 
     @property
     def dxs(self):
-        # gathered x offsets = tap range, widened by +-1 when x drifts
-        # across the 8 sublanes (or when cubic mirror taps can jump)
-        pad = 1 if (self.slop or (self.order == 3 and self.mode == "constant")) else 0
+        # gathered x offsets = tap range, widened by the sublane drift slop
+        # (plus one for cubic mirror-tap jumps near edges)
+        pad = self.slop
+        if self.order == 3 and self.mode == "constant":
+            pad = max(pad, self.slop + 1 if self.slop else 1)
         lo, hi = self.taps[0] - pad, self.taps[-1] + pad
         return tuple(range(lo, hi + 1))
 
@@ -103,27 +107,37 @@ def choose_variant(matrix, vol_shape, interpolation: str,
         for po in itertools.permutations((0, 1, 2)):
             a = _adjusted_matrix(matrix, ps, po)
             aa = np.abs(a)
-            if 7.0 * aa[2, 1] > _SUB_DRIFT_LIMIT:
+            drift = 7.0 * aa[2, 1]
+            if drift > _SUB_DRIFT_LIMIT:
                 continue
-            slop = bool(7.0 * aa[2, 1] > 1e-5)
+            slop = 0 if drift <= 1e-5 else int(math.ceil(drift))
             spans = [aa[r, 1] * 7 + aa[r, 2] * 127 + margin + 1 for r in (0, 1)]
             w0, w1 = (int(math.ceil(s)) for s in spans)
             d = tuple(vol_shape[ps[k]] for k in range(3))
             w0 = min(w0, d[0])
             w1 = min(w1, d[1])
-            if w0 * w1 > budget:
+            unroll = w0 * w1 <= budget
+            if not unroll:
+                # the fori-loop tier reads row-vregs via ref slices, which
+                # must not straddle an r0 boundary: round w1 to 8 sublanes
+                w1 = -8 * (-w1 // 8)
+                if w1 > d[1]:
+                    continue
+            if w0 * w1 > _ROW_BUDGET_LOOP:
                 continue
             out_d = tuple(vol_shape[po[k]] for k in range(3))
             nv = (w0 * w1 + 7) // 8
             dx_pad = ((vol_shape[ps[2]] + 127) // 128) * 128
-            # cost model: row-select work dominates; slop widens the x taps
-            ndx = (order + 1) + (2 if slop or order == 3 else 0)
-            cost = nv * ndx * (order + 1) ** 2
+            # cost model: row-select work dominates; slop widens the x taps;
+            # the fori-loop tier pays some per-iteration overhead
+            pad = max(slop, slop + 1 if slop else 1) if order == 3 else slop
+            ndx = (order + 1) + 2 * pad
+            cost = nv * ndx * (order + 1) ** 2 * (1.0 if unroll else 1.5)
             if best_cost is None or cost < best_cost:
                 best_cost = cost
                 best = Variant(ps=ps, po=tuple(po), w0=w0, w1=w1, d=d,
                                dx_pad=dx_pad, out_d=out_d, order=order,
-                               mode=mode, slop=slop)
+                               mode=mode, slop=slop, unroll=unroll)
     return best
 
 
@@ -159,6 +173,7 @@ def _make_kernel(v: Variant, cval: float):
     dxs = v.dxs
     order = v.order
     constant = v.mode == "constant"
+    unroll = v.unroll
     rows_pad = nv * 8
 
     def kernel(mat_ref, vol_hbm, out_ref, win_ref, sem):
@@ -284,27 +299,37 @@ def _make_kernel(v: Variant, cval: float):
                 vol_hbm.at[pl.ds(o0, w0), pl.ds(o1, w1), b],
                 win_ref.at[slot, b], sem.at[slot, b]).wait()
         wins = []
-        for b in range(nb):
-            wb = win_ref[slot, b].reshape(w0 * w1, 128)
-            if rows_pad > w0 * w1:
-                wb = jnp.concatenate(
-                    [wb, jnp.zeros((rows_pad - w0 * w1, 128), jnp.float32)],
-                    axis=0)
-            wins.append(wb)
+        if unroll:
+            for b in range(nb):
+                wb = win_ref[slot, b].reshape(w0 * w1, 128)
+                if rows_pad > w0 * w1:
+                    wb = jnp.concatenate(
+                        [wb, jnp.zeros((rows_pad - w0 * w1, 128), jnp.float32)],
+                        axis=0)
+                wins.append(wb)
 
-        # ---- stage 1: lane-gathers X[vreg, dx'] = win rows at xb + dx'
+        # x lane-gather index decomposition, shared by both tiers
+        xparts = {}
+        for dx in dxs:
+            idx = jnp.clip(xb + dx, 0, d2 - 1)
+            xparts[dx] = (idx >> 7, idx & 127)
+
+        def gather_vreg(rows8, dx):
+            """win rows (8, dx_pad) -> values at x = xb + dx, per lane."""
+            blk, within = xparts[dx]
+            acc = None
+            for b in range(nb):
+                gat = jnp.take_along_axis(rows8[b], within, axis=1)
+                acc = gat if acc is None else jnp.where(blk == b, gat, acc)
+            return acc
+
+        # ---- stage 1 (unrolled tier): X[vreg, dx'] tables
         xg = {}
-        for vi in range(nv):
-            for dx in dxs:
-                idx = jnp.clip(xb + dx, 0, d2 - 1)
-                blk = idx >> 7
-                within = idx & 127
-                acc = None
-                for b in range(nb):
-                    gat = jnp.take_along_axis(
-                        wins[b][vi * 8:(vi + 1) * 8, :], within, axis=1)
-                    acc = gat if acc is None else jnp.where(blk == b, gat, acc)
-                xg[(vi, dx)] = acc
+        if unroll:
+            for vi in range(nv):
+                rows8 = [wins[b][vi * 8:(vi + 1) * 8, :] for b in range(nb)]
+                for dx in dxs:
+                    xg[(vi, dx)] = gather_vreg(rows8, dx)
 
         # ---- stage 2: fold the x taps into per-dx' weights (exact: the x
         # contribution of tap ix lives in gathered slot dx' = dxp_ix, so
@@ -325,9 +350,8 @@ def _make_kernel(v: Variant, cval: float):
                 acc = acc + jnp.where(dxp == dx, w, 0.0)
             wfold[dx] = acc
 
-        # ---- stage 3: per (z,y) tap-pair, resolve rows per window vreg and
-        # accumulate with folded x weights
-        out = jnp.zeros((8, 128), jnp.float32)
+        # per-pair row indices and weights, shared by both tiers
+        pairs = []
         for iz, (zt, zvalid) in enumerate(ztaps):
             zrel = zt - o0
             for iy, (yt, yvalid) in enumerate(ytaps):
@@ -336,6 +360,13 @@ def _make_kernel(v: Variant, cval: float):
                 w_zy = wz[iz] * wy[iy]
                 if not constant:
                     w_zy = jnp.where(zvalid & yvalid, w_zy, 0.0)
+                pairs.append((rrel, w_zy))
+
+        # ---- stage 3: resolve rows per window vreg, accumulate with folded
+        # x weights
+        if unroll:
+            out = jnp.zeros((8, 128), jnp.float32)
+            for rrel, w_zy in pairs:
                 val = jnp.zeros((8, 128), jnp.float32)
                 for vi in range(nv):
                     m = rrel - vi * 8
@@ -347,6 +378,34 @@ def _make_kernel(v: Variant, cval: float):
                         hit = hit + wfold[dx] * gat
                     val = val + jnp.where(mok, hit, 0.0)
                 out = out + w_zy * val
+        else:
+            # fori-loop tier for big windows (general rotations): same math,
+            # dynamic vreg slicing, one loop iteration per window row-vreg
+            rrels = jnp.stack([p[0] for p in pairs])      # (P, 8, 128)
+            wzys = jnp.stack([p[1] for p in pairs])       # (P, 8, 128)
+
+            def body(vi, out):
+                base = vi * 8
+                # w1 % 8 == 0 in this tier, so the 8-row run lives within a
+                # single r0 plane of the window scratch
+                r0_i = base // w1
+                r1_i = base - r0_i * w1
+                rows8 = [win_ref[slot, b, r0_i, pl.ds(r1_i, 8), :]
+                         for b in range(nb)]
+                xgv = {dx: gather_vreg(rows8, dx) for dx in dxs}
+                for p in range(len(pairs)):
+                    m = rrels[p] - base
+                    mok = (m >= 0) & (m < 8)
+                    mc = jnp.clip(m, 0, 7)
+                    hit = jnp.zeros((8, 128), jnp.float32)
+                    for dx in dxs:
+                        gat = jnp.take_along_axis(xgv[dx], mc, axis=0)
+                        hit = hit + wfold[dx] * gat
+                    out = out + wzys[p] * jnp.where(mok, hit, 0.0)
+                return out
+
+            out = jax.lax.fori_loop(0, nv, body,
+                                    jnp.zeros((8, 128), jnp.float32))
 
         if constant:
             inside = ((zf >= 0) & (zf <= d0 - 1) & (yf >= 0) & (yf <= d1 - 1)
