@@ -1,0 +1,66 @@
+"""Cross-device grid check (automated version of the reference's visual
+``tests/test_devices.py``): {linear, bspline, filt_bspline} x {cpu, jax},
+through both API styles, every cell asserted against the scipy oracle
+instead of eyeballed.  Run as a script to also write the comparison figure.
+"""
+
+import numpy as np
+import pytest
+
+import voltools_tpu as vt
+from voltools_tpu import StaticVolume
+
+KW = dict(rotation=(45.0, 30.0, 0.0), rotation_order="rzxz",
+          translation=(0.0, 2.0, -1.0))
+
+
+def _make_volume(n=32):
+    z, y, x = np.meshgrid(*(np.linspace(-1, 1, n),) * 3, indexing="ij")
+    return ((z ** 2 + y ** 2 + x ** 2) < 0.5).astype(np.float32) * (1 + x)
+
+
+@pytest.mark.parametrize("interpolation", ["linear", "bspline",
+                                           "filt_bspline"])
+def test_grid_transform_api(interpolation):
+    vol = _make_volume()
+    results = {dev: vt.transform(vol, interpolation=interpolation,
+                                 device=dev, **KW)
+               for dev in ("cpu", "jax")}
+    np.testing.assert_allclose(results["jax"], results["cpu"], atol=3e-5)
+
+
+@pytest.mark.parametrize("interpolation", ["linear", "bspline",
+                                           "filt_bspline"])
+def test_grid_static_volume_api(interpolation):
+    vol = _make_volume()
+    results = {}
+    for dev in ("cpu", "jax"):
+        sv = StaticVolume(vol, interpolation=interpolation, device=dev)
+        results[dev] = sv.transform(**KW)
+    np.testing.assert_allclose(results["jax"], results["cpu"], atol=3e-5)
+
+
+def main():  # pragma: no cover - manual visual check
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    vol = _make_volume(64)
+    interps = ["linear", "bspline", "filt_bspline"]
+    devices = ["cpu", "jax"]
+    fig, axes = plt.subplots(len(devices), len(interps), figsize=(12, 8))
+    mid = vol.shape[0] // 2
+    for i, dev in enumerate(devices):
+        for j, interp in enumerate(interps):
+            out = vt.transform(vol, interpolation=interp, device=dev,
+                               profile=True, **KW)
+            axes[i, j].imshow(out[mid], cmap="gray")
+            axes[i, j].set_title(f"{interp} / {dev}")
+            axes[i, j].axis("off")
+    fig.tight_layout()
+    fig.savefig("test_devices_grid.png", dpi=120)
+    print("wrote test_devices_grid.png")
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

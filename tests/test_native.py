@@ -1,0 +1,74 @@
+"""Native C++ CPU backend tests (skipped when no toolchain is available)."""
+
+import numpy as np
+import pytest
+from scipy.ndimage import affine_transform, spline_filter
+
+import voltools_tpu as vt
+from voltools_tpu import native
+from voltools_tpu.utils import transform_matrix
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native backend not built")
+
+
+def random_matrix(seed, shape):
+    rng = np.random.default_rng(seed)
+    center = np.divide(np.subtract(shape, 1), 2)
+    return transform_matrix(
+        scale=1.0 + 0.2 * rng.standard_normal(3),
+        shear=0.05 * rng.standard_normal(3),
+        rotation=rng.uniform(-180, 180, 3), rotation_order="rzxz",
+        translation=rng.uniform(-2, 2, 3), center=center)
+
+
+@pytest.mark.parametrize("interpolation,order,prefilter", [
+    ("linear", 1, False), ("bspline", 3, False), ("filt_bspline", 3, True),
+])
+def test_native_matches_scipy(small_volume, interpolation, order, prefilter):
+    m = random_matrix(21, small_volume.shape)
+    got = native.affine_transform(small_volume, m, interpolation)
+    expected = affine_transform(small_volume, m, order=order,
+                                prefilter=prefilter)
+    np.testing.assert_allclose(got, expected, atol=3e-5)
+
+
+def test_native_prefilter_matches_scipy(small_volume):
+    got = native.bspline_prefilter(small_volume)
+    expected = spline_filter(small_volume, order=3, mode="mirror",
+                             output=np.float32)
+    np.testing.assert_allclose(got, expected, atol=3e-5)
+
+
+def test_native_border_mode(small_volume):
+    from voltools_tpu.ops.sampling import affine_sample
+    m = random_matrix(22, small_volume.shape)
+    got = native.affine_transform(small_volume, m, "linear", mode="border")
+    expected = np.asarray(affine_sample(small_volume, m, "linear", "border"))
+    np.testing.assert_allclose(got, expected, atol=3e-5)
+
+
+def test_cpu_backend_kwarg(small_volume):
+    m = random_matrix(23, small_volume.shape)
+    via_api = vt.affine(small_volume, m, device="cpu", cpu_backend="native")
+    via_scipy = vt.affine(small_volume, m, device="cpu")
+    np.testing.assert_allclose(via_api, via_scipy, atol=3e-5)
+
+
+def test_native_output_buffer(small_volume):
+    m = random_matrix(24, small_volume.shape)
+    buf = np.empty_like(small_volume)
+    ret = vt.affine(small_volume, m, device="cpu", cpu_backend="native",
+                    output=buf)
+    assert ret is None
+    np.testing.assert_allclose(
+        buf, vt.affine(small_volume, m, device="cpu"), atol=3e-5)
+
+
+def test_native_reshape(small_volume):
+    m = random_matrix(25, small_volume.shape)
+    got = vt.affine(small_volume, m, device="cpu", cpu_backend="native",
+                    reshape=True)
+    expected = vt.affine(small_volume, m, device="cpu", reshape=True)
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, atol=3e-5)

@@ -112,7 +112,10 @@ def choose_variant(matrix, vol_shape, interpolation: str,
                 continue
             slop = 0 if drift <= 1e-5 else int(math.ceil(drift))
             spans = [aa[r, 1] * 7 + aa[r, 2] * 127 + margin + 1 for r in (0, 1)]
-            w0, w1 = (int(math.ceil(s)) for s in spans)
+            # quantize window extents so sweeps over many nearby matrices
+            # (tilt series) reuse a handful of compiled kernels instead of
+            # one per angle
+            w0, w1 = (4 * int(math.ceil(s / 4)) for s in spans)
             d = tuple(vol_shape[ps[k]] for k in range(3))
             w0 = min(w0, d[0])
             w1 = min(w1, d[1])

@@ -61,9 +61,11 @@ def _finish(result_np, output):
     return None
 
 
-def _affine_cpu(volume, transform_m, interpolation, reshape, output):
-    from scipy.ndimage import affine_transform
-
+def _affine_cpu(volume, transform_m, interpolation, reshape, output,
+                backend: str = "scipy"):
+    if backend not in ("scipy", "native"):
+        raise ValueError(
+            f"cpu_backend must be 'scipy' or 'native', got {backend!r}")
     order = spline_order(interpolation)
     prefilter = needs_prefilter(interpolation)
 
@@ -78,6 +80,14 @@ def _affine_cpu(volume, transform_m, interpolation, reshape, output):
     else:
         output_shape = volume.shape
 
+    if backend == "native":
+        from . import native
+        out = native.affine_transform(
+            volume, transform_m, interpolation, out_shape=output_shape,
+            output=output if isinstance(output, np.ndarray) else None)
+        return None if isinstance(output, np.ndarray) else out
+
+    from scipy.ndimage import affine_transform
     out = affine_transform(volume, transform_m, output_shape=output_shape,
                            output=output if isinstance(output, np.ndarray) else None,
                            order=order, prefilter=prefilter)
@@ -174,10 +184,14 @@ def affine(volume: np.ndarray,
            output=None,
            device: str = "cpu",
            mode: str = "constant",
-           cval: float = 0.0):
+           cval: float = 0.0,
+           cpu_backend: str = "scipy"):
     """Apply a 4x4 pull-back matrix to a 3-D volume.
 
     Central dispatcher, the analogue of reference ``transforms.py:109-229``.
+    ``cpu_backend='native'`` uses the multithreaded C++ resampler instead of
+    scipy on the CPU path (identical semantics; coordinate rounding can
+    differ at exactly-integer source coordinates).
     """
     if volume.ndim != 3:
         raise ValueError("Expected a 3D array")
@@ -202,7 +216,8 @@ def affine(volume: np.ndarray,
         if device == "cpu":
             if isinstance(output, str):
                 raise ValueError("output='device' requires a jax device")
-            return _affine_cpu(volume, transform_m, interpolation, reshape, output)
+            return _affine_cpu(volume, transform_m, interpolation, reshape,
+                               output, cpu_backend)
         return _affine_jax(volume, transform_m, interpolation, reshape,
                            output, device, mode, cval)
     finally:
