@@ -96,7 +96,14 @@ def _adjusted_matrix(matrix: np.ndarray, ps, po) -> np.ndarray:
 
 def choose_variant(matrix, vol_shape, interpolation: str,
                    mode: str = "constant") -> Optional[Variant]:
-    """Pick the cheapest axis assignment whose window fits, or None."""
+    """Pick the cheapest axis assignment whose window fits, or None.
+
+    ``matrix`` may be one (4,4) map or a (N,4,4) batch — for a batch the
+    window/slop envelope covers every matrix, so one compiled kernel serves
+    the whole sweep (the matrix itself stays a traced argument)."""
+    matrices = np.asarray(matrix, dtype=np.float64)
+    if matrices.ndim == 2:
+        matrices = matrices[None]
     order = 1 if interpolation == "linear" else 3
     margin = 2 if order == 1 else 4   # floor + taps on each side
     budget = _ROW_BUDGET_LINEAR if order == 1 else _ROW_BUDGET_CUBIC
@@ -105,8 +112,8 @@ def choose_variant(matrix, vol_shape, interpolation: str,
     for ps in [(1, 2, 0), (0, 2, 1), (0, 1, 2),
                (2, 1, 0), (2, 0, 1), (1, 0, 2)]:
         for po in itertools.permutations((0, 1, 2)):
-            a = _adjusted_matrix(matrix, ps, po)
-            aa = np.abs(a)
+            aa = np.max(np.stack([np.abs(_adjusted_matrix(m, ps, po))
+                                  for m in matrices]), axis=0)
             drift = 7.0 * aa[2, 1]
             if drift > _SUB_DRIFT_LIMIT:
                 continue

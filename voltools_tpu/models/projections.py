@@ -57,6 +57,9 @@ class TiltSeriesProjector:
 
         from ..ops.sampling import affine_sample
 
+        self._mode = mode
+        self._device = device
+
         def project_one(volume, matrix):
             rotated = affine_sample(volume, matrix, interpolation, mode, 0.0,
                                     prefiltered=True)
@@ -64,6 +67,30 @@ class TiltSeriesProjector:
 
         self._project_batch = jax.jit(
             jax.vmap(project_one, in_axes=(None, 0)))
+        self._variant_projectors = {}
+
+    def _projector_for(self, ms_np):
+        """Kernel fast path when an envelope variant covers the tilt sweep."""
+        from ..transforms import select_variant
+        from ..utils import resolve_device
+        variant = select_variant(ms_np, self.shape, self.interpolation,
+                                 self._mode, resolve_device(self._device))
+        if variant is None:
+            return self._project_batch
+        if variant not in self._variant_projectors:
+            import jax
+            import jax.numpy as jnp
+            from ..kernels.pallas_affine import affine_sample_pallas_variant
+            axis = self.projection_axis
+
+            def run(vol, ms):
+                return jax.lax.map(
+                    lambda m: jnp.sum(
+                        affine_sample_pallas_variant(vol, m, variant, 0.0),
+                        axis=axis), ms)
+
+            self._variant_projectors[variant] = jax.jit(run)
+        return self._variant_projectors[variant]
 
     def tilt_matrices(self, angles_deg: Sequence[float],
                       tilt_axis: int = 1) -> np.ndarray:
@@ -85,8 +112,9 @@ class TiltSeriesProjector:
         Returns an (N, H', W') stack of projections (numpy, or the device
         array with ``output='device'``)."""
         import jax.numpy as jnp
-        ms = jnp.asarray(self.tilt_matrices(angles_deg, tilt_axis))
-        result = self._project_batch(self.data, ms)
+        ms_np = self.tilt_matrices(angles_deg, tilt_axis)
+        projector = self._projector_for(ms_np)
+        result = projector(self.data, jnp.asarray(ms_np))
         if isinstance(output, str) and output == "device":
             return result
         return np.asarray(result)

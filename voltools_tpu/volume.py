@@ -109,6 +109,28 @@ class StaticVolume:
                                                             cval))
         return self._variant_samplers[variant]
 
+    def _device_batch_sampler(self, transform_ms):
+        """Batched fast path: one envelope variant covering the whole matrix
+        sweep, run as a sequential scan of kernel launches in one program."""
+        from .transforms import select_variant
+        variant = select_variant(transform_ms, self.shape, self.interpolation,
+                                 self.mode, self._jdev)
+        if variant is None:
+            return self._batch_sampler
+        key = ("batch", variant)
+        if key not in self._variant_samplers:
+            import jax
+            from .kernels.pallas_affine import affine_sample_pallas_variant
+            cval = self.cval
+
+            def run(vol, ms):
+                return jax.lax.map(
+                    lambda m: affine_sample_pallas_variant(vol, m, variant,
+                                                           cval), ms)
+
+            self._variant_samplers[key] = jax.jit(run)
+        return self._variant_samplers[key]
+
     # ------------------------------------------------------------------ core
 
     def affine(self, transform_m: np.ndarray, profile: bool = False,
@@ -148,11 +170,12 @@ class StaticVolume:
                 _affine_fn(self.data, m, interpolation=self.interpolation,
                            device="cpu") for m in transform_ms])
         import jax.numpy as jnp
+        sampler = self._device_batch_sampler(transform_ms)
         timer = ProfileTimer() if profile else None
         if timer:
             timer.__enter__()
         try:
-            result = self._batch_sampler(
+            result = sampler(
                 self.data, jnp.asarray(transform_ms, jnp.float32))
             if isinstance(output, str) and output == "device":
                 return result
