@@ -63,7 +63,18 @@ class StaticVolume:
         self.shape = tuple(data.shape)
 
         if device == "cpu":
-            self.data = data
+            # prefilter once at construction (the reference's GPU path did
+            # this for textures, volume.py:48-50; its CPU path re-filtered on
+            # every call) — subsequent calls sample the coefficients directly
+            if needs_prefilter(interpolation):
+                from scipy.ndimage import spline_filter
+                self.data = spline_filter(data, order=3, mode="mirror",
+                                          output=np.float32)
+                self._cpu_interp = ("bspline" if interpolation == "filt_bspline"
+                                    else "bspline_simple")
+            else:
+                self.data = data
+                self._cpu_interp = interpolation
             return
 
         import jax
@@ -139,7 +150,7 @@ class StaticVolume:
         matrix only (reference ``volume.py:61-91``)."""
         if self.device == "cpu":
             return _affine_fn(self.data, transform_m,
-                              interpolation=self.interpolation,
+                              interpolation=self._cpu_interp,
                               profile=profile, output=output, device="cpu")
 
         import jax.numpy as jnp
@@ -161,31 +172,52 @@ class StaticVolume:
         np.copyto(output, np.asarray(result))
         return None
 
+    # keep the device output stack under ~2 GB so big sweeps don't exhaust HBM
+    _BATCH_BYTES_BUDGET = 2 << 30
+
     def affine_batch(self, transform_ms: np.ndarray, profile: bool = False,
                      output=None):
         """Apply a stack of N matrices in one device program; returns
-        (N, *shape).  TPU-only extension."""
+        (N, *shape).  TPU-only extension.  Large sweeps are chunked so the
+        output stack stays within HBM (chunk size from _BATCH_BYTES_BUDGET);
+        ``output='device'`` requires the whole stack to fit."""
+        transform_ms = np.asarray(transform_ms, dtype=np.float32)
         if self.device == "cpu":
             return np.stack([
-                _affine_fn(self.data, m, interpolation=self.interpolation,
+                _affine_fn(self.data, m, interpolation=self._cpu_interp,
                            device="cpu") for m in transform_ms])
         import jax.numpy as jnp
-        sampler = self._device_batch_sampler(transform_ms)
+        n = transform_ms.shape[0]
+        vol_bytes = 4 * int(np.prod(self.shape))
+        chunk = max(1, self._BATCH_BYTES_BUDGET // vol_bytes)
         timer = ProfileTimer() if profile else None
         if timer:
             timer.__enter__()
         try:
-            result = sampler(
-                self.data, jnp.asarray(transform_ms, jnp.float32))
+            # one envelope variant + one compiled chunk shape for the sweep
+            sampler = self._device_batch_sampler(transform_ms)
             if isinstance(output, str) and output == "device":
-                return result
-            result.block_until_ready()
+                return sampler(self.data, jnp.asarray(transform_ms))
+            pieces = []
+            for lo in range(0, n, chunk):
+                ms = transform_ms[lo:lo + chunk]
+                pad = 0
+                if n > chunk and ms.shape[0] < chunk:
+                    pad = chunk - ms.shape[0]
+                    ms = np.concatenate(
+                        [ms, np.tile(np.eye(4, dtype=np.float32),
+                                     (pad, 1, 1))])
+                part = sampler(self.data, jnp.asarray(ms))
+                part.block_until_ready()
+                part_np = np.asarray(part)
+                pieces.append(part_np[:-pad] if pad else part_np)
+            result_np = pieces[0] if len(pieces) == 1 else np.concatenate(pieces)
         finally:
             if timer:
                 timer.__exit__(None, None, None)
         if output is None:
-            return np.asarray(result)
-        np.copyto(output, np.asarray(result))
+            return result_np
+        np.copyto(output, result_np)
         return None
 
     # ------------------------------------------------------------- transforms
