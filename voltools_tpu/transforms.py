@@ -128,14 +128,27 @@ def _pick_impl(device) -> str:
     return "xla"
 
 
+_RECENT_VARIANTS: list = []   # small MRU of compiled kernel configs
+
+
 def select_variant(transform_m, vol_shape, interpolation, mode, device):
-    """Host-side pallas kernel config for a concrete matrix, or None."""
+    """Host-side pallas kernel config for a concrete matrix, or None.
+
+    Recently-compiled variants are reused when their envelope covers the
+    matrix, so one-shot calls over an angle sweep share kernels."""
     if _pick_impl(device) != "pallas":
         return None
     try:
-        from .kernels.pallas_affine import choose_variant
-        return choose_variant(np.asarray(transform_m, np.float64),
-                              vol_shape, interpolation, mode)
+        from .kernels.pallas_affine import choose_variant, variant_covers
+        m = np.asarray(transform_m, np.float64)
+        for cached in _RECENT_VARIANTS:
+            if variant_covers(cached, m, vol_shape, interpolation, mode):
+                return cached
+        variant = choose_variant(m, vol_shape, interpolation, mode)
+        if variant is not None:
+            _RECENT_VARIANTS.append(variant)
+            del _RECENT_VARIANTS[:-32]
+        return variant
     except Exception:
         return None
 

@@ -105,8 +105,16 @@ class StaticVolume:
 
     def _device_sampler(self, transform_m):
         """Pick the pallas fast path when the matrix qualifies (the data is
-        already prefiltered, so the kernel samples it directly)."""
+        already prefiltered, so the kernel samples it directly).  An
+        already-compiled variant whose envelope covers the matrix is reused,
+        so angle sweeps don't recompile per step."""
+        from .kernels.pallas_affine import variant_covers
         from .transforms import select_variant
+        for cached in self._variant_samplers:
+            if (not isinstance(cached, tuple)
+                    and variant_covers(cached, transform_m, self.shape,
+                                       self.interpolation, self.mode)):
+                return self._variant_samplers[cached]
         variant = select_variant(transform_m, self.shape, self.interpolation,
                                  self.mode, self._jdev)
         if variant is None:
