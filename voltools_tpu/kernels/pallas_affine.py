@@ -437,7 +437,7 @@ def _make_kernel(v: Variant, cval: float):
             rrels = jnp.stack([p[0] for p in pairs])      # (P, 8, 128)
             wzys = jnp.stack([p[1] for p in pairs])       # (P, 8, 128)
 
-            def body(vi, out):
+            def one_vreg(vi, out):
                 base = vi * 8
                 # w1 % 8 == 0 in this tier, so the 8-row run lives within a
                 # single r0 plane of the window scratch
@@ -457,8 +457,16 @@ def _make_kernel(v: Variant, cval: float):
                     out = out + wzys[p] * jnp.where(mok, hit, 0.0)
                 return out
 
-            out = jax.lax.fori_loop(0, nv, body,
+            # two row-vregs per iteration (amortizes loop/scalar overhead),
+            # static epilogue for the odd remainder
+            def body(v2, out):
+                out = one_vreg(v2 * 2, out)
+                return one_vreg(v2 * 2 + 1, out)
+
+            out = jax.lax.fori_loop(0, nv // 2, body,
                                     jnp.zeros((8, 128), jnp.float32))
+            if nv % 2:
+                out = one_vreg(nv - 1, out)
 
         if constant:
             inside = ((zf >= 0) & (zf <= d0 - 1) & (yf >= 0) & (yf <= d1 - 1)
