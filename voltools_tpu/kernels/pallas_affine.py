@@ -29,7 +29,6 @@ qualify; generic small/medium rotations usually do.
 
 from __future__ import annotations
 
-import functools
 import itertools
 import math
 from dataclasses import dataclass

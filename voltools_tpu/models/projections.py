@@ -17,7 +17,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 from ..ops.interpolation import needs_prefilter
-from ..utils import rotation_matrix, transform_matrix
+from ..utils import transform_matrix
 
 
 class TiltSeriesProjector:

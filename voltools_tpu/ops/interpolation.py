@@ -29,7 +29,6 @@ Boundary handling (``mode``):
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 AVAILABLE_INTERPOLATIONS = [

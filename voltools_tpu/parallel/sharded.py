@@ -23,7 +23,7 @@ tests exercise it without TPU hardware.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

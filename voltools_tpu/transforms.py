@@ -29,7 +29,6 @@ from typing import Tuple, Union
 
 import numpy as np
 
-from . import utils
 from .ops.interpolation import AVAILABLE_INTERPOLATIONS, needs_prefilter, spline_order
 from .utils import (
     ProfileTimer,
