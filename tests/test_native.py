@@ -72,3 +72,15 @@ def test_native_reshape(small_volume):
     expected = vt.affine(small_volume, m, device="cpu", reshape=True)
     assert got.shape == expected.shape
     np.testing.assert_allclose(got, expected, atol=3e-5)
+
+
+def test_native_output_validation(small_volume):
+    """Review fix: wrong-dtype/shape output buffers must raise, not produce
+    silently reinterpreted garbage."""
+    m = random_matrix(26, small_volume.shape)
+    with pytest.raises(ValueError, match="float32"):
+        native.affine_transform(small_volume, m, "linear",
+                                output=np.zeros(small_volume.shape))
+    with pytest.raises(ValueError, match="shape"):
+        native.affine_transform(small_volume, m, "linear",
+                                output=np.zeros((2, 2, 2), np.float32))

@@ -180,3 +180,29 @@ def test_odd_sizes_prefilter(device, rng):
     expected = affine_transform(vol, m, order=3, prefilter=True)
     got = vt.affine(vol, m, interpolation="filt_bspline", device=device)
     np.testing.assert_allclose(got, expected, atol=3e-5)
+
+
+def test_cpu_cval_honored(small_volume):
+    """Review fix: device='cpu' must honor cval (it used to be dropped)."""
+    from scipy.ndimage import affine_transform
+    m = random_matrix(13, small_volume.shape)
+    got = vt.affine(small_volume, m, device="cpu", cval=7.5)
+    expected = affine_transform(small_volume, m, order=1, prefilter=False,
+                                cval=7.5)
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+    # jax path agrees
+    got_jax = vt.affine(small_volume, m, device="jax", cval=7.5)
+    np.testing.assert_allclose(got_jax, expected, atol=2e-5)
+
+
+def test_cpu_border_mode_routes_to_native(small_volume):
+    """Review fix: mode='border' on CPU routes to the native backend (scipy
+    has no texture-border mode) and matches the jax implementation."""
+    from voltools_tpu import native
+    if not native.available():
+        import pytest as _pytest
+        _pytest.skip("native backend unavailable")
+    m = random_matrix(14, small_volume.shape)
+    got = vt.affine(small_volume, m, device="cpu", mode="border")
+    expected = vt.affine(small_volume, m, device="jax", mode="border")
+    np.testing.assert_allclose(got, expected, atol=3e-5)

@@ -8,7 +8,6 @@ multi-chip sharded execution, and a scipy CPU fallback.
 """
 
 from .transforms import (
-    AVAILABLE_DEVICES,
     affine,
     rotate,
     scale,
@@ -16,6 +15,15 @@ from .transforms import (
     transform,
     translate,
 )
+
+
+def __getattr__(name):
+    # lazy: enumerating devices initializes the jax backend, which pure-CPU
+    # users should never pay for at import time
+    if name == "AVAILABLE_DEVICES":
+        from .transforms import _devices
+        return _devices()
+    raise AttributeError(name)
 from .ops.interpolation import AVAILABLE_INTERPOLATIONS
 from .volume import StaticVolume
 from . import ops, utils

@@ -40,7 +40,8 @@ PALLAS_AVAILABLE = True
 
 _ROW_BUDGET_LINEAR = 256   # max window rows for the unrolled select-tree
 _ROW_BUDGET_CUBIC = 160    # order 3 pays 16 row-taps per row-vreg
-_ROW_BUDGET_LOOP = 2048    # fori-loop tier: general rotations, bigger slabs
+_ROW_BUDGET_LOOP = 4096    # fori-loop tier: general rotations, bigger slabs
+_VMEM_WINDOW_BUDGET = 12 << 20   # cap on total window scratch bytes
 _SUB_DRIFT_LIMIT = 6.0     # max |x drift| across 8 sublanes (slop taps cover it)
 
 
@@ -137,6 +138,10 @@ def choose_variant(matrix, vol_shape, interpolation: str,
             out_d = tuple(vol_shape[po[k]] for k in range(3))
             nv = (w0 * w1 + 7) // 8
             dx_pad = ((vol_shape[ps[2]] + 127) // 128) * 128
+            # the window scratch (2+ pipeline slots) must fit VMEM: its size
+            # scales with the x extent (dx_pad), not just the row count
+            if 2 * (dx_pad // 128) * w0 * w1 * 128 * 4 > _VMEM_WINDOW_BUDGET:
+                continue
             # cost model: row-select work dominates; slop widens the x taps;
             # the fori-loop tier pays some per-iteration overhead
             pad = max(slop, slop + 1 if slop else 1) if order == 3 else slop
@@ -173,30 +178,15 @@ def variant_covers(v: Variant, matrix, vol_shape, interpolation: str,
     return math.ceil(spans[0]) <= v.w0 and math.ceil(spans[1]) <= v.w1
 
 
-def _mirror(idx, n):
-    import jax.numpy as jnp
-    if n == 1:
-        return jnp.zeros_like(idx)
-    period = 2 * (n - 1)
-    idx = jnp.remainder(idx, period)
-    return jnp.where(idx >= n, period - idx, idx)
-
-
-def _bspline_w(f):
-    g = 1.0 - f
-    f2 = f * f
-    g2 = g * g
-    return ((1.0 / 6.0) * g2 * g,
-            2.0 / 3.0 - 0.5 * f2 * (2.0 - f),
-            2.0 / 3.0 - 0.5 * g2 * (2.0 - g),
-            (1.0 / 6.0) * f2 * f)
-
-
 def _make_kernel(v: Variant, cval: float):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    # shared scipy-parity helpers — same math the XLA oracle path uses
+    from ..ops.interpolation import _mirror_index as _mirror
+    from ..ops.interpolation import cubic_bspline_weights as _bspline_w
 
     d0, d1, d2 = v.d
     w0, w1 = v.w0, v.w1

@@ -101,6 +101,19 @@ def affine_transform(volume: np.ndarray, matrix: np.ndarray,
         out_shape = vol.shape
     if output is None:
         output = np.empty(tuple(out_shape), dtype=np.float32)
+    else:
+        # the C kernel writes float32 through a raw pointer; anything else
+        # would be silently reinterpreted
+        if output.dtype != np.float32:
+            raise ValueError(
+                f"output must be float32 for the native backend, got "
+                f"{output.dtype}")
+        if not output.flags["C_CONTIGUOUS"]:
+            raise ValueError("output must be C-contiguous for the native "
+                             "backend")
+        if tuple(output.shape) != tuple(out_shape):
+            raise ValueError(
+                f"output shape {output.shape} != expected {tuple(out_shape)}")
 
     m = np.ascontiguousarray(np.asarray(matrix, dtype=np.float64)[:3, :4])
     lib.vt_affine_transform(

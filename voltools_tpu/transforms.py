@@ -44,7 +44,18 @@ from .utils import (
 
 Triple = Union[float, Tuple[float, float, float], np.ndarray]
 
-AVAILABLE_DEVICES = get_available_devices()
+
+@functools.lru_cache(maxsize=1)
+def _devices():
+    # computed lazily so `import voltools_tpu` never initializes a jax
+    # backend (device='cpu' users pay nothing)
+    return get_available_devices()
+
+
+def __getattr__(name):
+    if name == "AVAILABLE_DEVICES":
+        return _devices()
+    raise AttributeError(name)
 
 
 def _as_triple(value):
@@ -61,10 +72,19 @@ def _finish(result_np, output):
 
 
 def _affine_cpu(volume, transform_m, interpolation, reshape, output,
-                backend: str = "scipy"):
+                backend: str = "scipy", mode: str = "constant",
+                cval: float = 0.0):
     if backend not in ("scipy", "native"):
         raise ValueError(
             f"cpu_backend must be 'scipy' or 'native', got {backend!r}")
+    if mode == "border" and backend != "native":
+        # scipy has no texture-border mode; the native backend implements it
+        from . import native
+        if not native.available():
+            raise ValueError(
+                "mode='border' on device='cpu' requires the native backend "
+                "(cpu_backend='native'), which is unavailable on this host")
+        backend = "native"
     order = spline_order(interpolation)
     prefilter = needs_prefilter(interpolation)
 
@@ -82,20 +102,21 @@ def _affine_cpu(volume, transform_m, interpolation, reshape, output,
     if backend == "native":
         from . import native
         out = native.affine_transform(
-            volume, transform_m, interpolation, out_shape=output_shape,
+            volume, transform_m, interpolation, mode=mode, cval=cval,
+            out_shape=output_shape,
             output=output if isinstance(output, np.ndarray) else None)
         return None if isinstance(output, np.ndarray) else out
 
     from scipy.ndimage import affine_transform
     out = affine_transform(volume, transform_m, output_shape=output_shape,
                            output=output if isinstance(output, np.ndarray) else None,
-                           order=order, prefilter=prefilter)
+                           order=order, prefilter=prefilter, cval=cval)
     if isinstance(output, np.ndarray):
         return None
     return out
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)
 def _jitted_affine(interpolation: str, mode: str, cval: float,
                    variant, device, out_shape=None):
     """Per-(config, device) compiled sampler; the volume and matrix stay as
@@ -121,10 +142,14 @@ def _jitted_affine(interpolation: str, mode: str, cval: float,
 
 
 def _pick_impl(device) -> str:
-    """'pallas' on real accelerators, 'xla' on the CPU backend."""
-    if device is not None and device.platform != "cpu":
-        return "pallas"
-    return "xla"
+    """'pallas' on TPU-family platforms, 'xla' elsewhere (the Mosaic kernel
+    cannot compile for CPU or CUDA/ROCm backends)."""
+    if device is None:
+        return "xla"
+    platform = device.platform
+    if platform in ("cpu", "cuda", "gpu", "rocm", "metal"):
+        return "xla"
+    return "pallas"
 
 
 _RECENT_VARIANTS: list = []   # small MRU of compiled kernel configs
@@ -148,7 +173,12 @@ def select_variant(transform_m, vol_shape, interpolation, mode, device):
             _RECENT_VARIANTS.append(variant)
             del _RECENT_VARIANTS[:-32]
         return variant
-    except Exception:
+    except Exception as exc:
+        # fall back to the XLA path, but never silently: a bug here would
+        # otherwise just make everything mysteriously slow
+        import warnings
+        warnings.warn(f"pallas variant selection failed ({exc!r}); "
+                      f"falling back to the XLA sampler", RuntimeWarning)
         return None
 
 
@@ -210,9 +240,9 @@ def affine(volume: np.ndarray,
     if interpolation not in AVAILABLE_INTERPOLATIONS:
         raise ValueError(
             f"Interpolation must be one of {AVAILABLE_INTERPOLATIONS}")
-    if device not in AVAILABLE_DEVICES:
+    if device not in _devices():
         raise ValueError(
-            f"Unknown device ({device}), must be one of {AVAILABLE_DEVICES}")
+            f"Unknown device ({device}), must be one of {_devices()}")
     if output is not None and not (isinstance(output, np.ndarray)
                                    or (isinstance(output, str)
                                        and output == "device")):
@@ -229,7 +259,7 @@ def affine(volume: np.ndarray,
             if isinstance(output, str):
                 raise ValueError("output='device' requires a jax device")
             return _affine_cpu(volume, transform_m, interpolation, reshape,
-                               output, cpu_backend)
+                               output, cpu_backend, mode, cval)
         return _affine_jax(volume, transform_m, interpolation, reshape,
                            output, device, mode, cval)
     finally:

@@ -159,7 +159,8 @@ class StaticVolume:
         if self.device == "cpu":
             return _affine_fn(self.data, transform_m,
                               interpolation=self._cpu_interp,
-                              profile=profile, output=output, device="cpu")
+                              profile=profile, output=output, device="cpu",
+                              mode=self.mode, cval=self.cval)
 
         import jax.numpy as jnp
         sampler = self._device_sampler(transform_m)
