@@ -125,7 +125,13 @@ def test_output_numpy_fill(small_volume):
     for device in ("cpu", "jax"):
         out = np.empty_like(small_volume)
         ret = vt.affine(small_volume, m, output=out, device=device)
-        assert ret is None
+        if device == "cpu":
+            # reference parity: the CPU branch returns the filled array
+            # (reference transforms.py:159-162)
+            assert ret is out
+        else:
+            # ... and device branches return None (transforms.py:224-226)
+            assert ret is None
         expected = vt.affine(small_volume, m, device=device)
         np.testing.assert_allclose(out, expected, atol=1e-6)
 
@@ -206,3 +212,16 @@ def test_cpu_border_mode_routes_to_native(small_volume):
     got = vt.affine(small_volume, m, device="cpu", mode="border")
     expected = vt.affine(small_volume, m, device="jax", mode="border")
     np.testing.assert_allclose(got, expected, atol=3e-5)
+
+
+def test_mode_validation(small_volume):
+    with pytest.raises(ValueError):
+        vt.affine(small_volume, np.eye(4), mode="nearest", device="cpu")
+    with pytest.raises(ValueError):
+        vt.affine(small_volume, np.eye(4), mode="wrap", device="jax")
+
+
+def test_last_dispatch_reports_tier(small_volume):
+    vt.affine(small_volume, random_matrix(2, small_volume.shape), device="jax")
+    info = vt.last_dispatch()
+    assert info is not None and info["impl"] in ("pallas", "xla")

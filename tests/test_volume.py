@@ -81,3 +81,26 @@ def test_static_volume_validation(small_volume):
         StaticVolume(small_volume, device="gpu:0")
     with pytest.raises(ValueError):
         StaticVolume(small_volume, interpolation="lanczos", device="jax")
+
+
+def test_static_volume_mode_validation(small_volume):
+    with pytest.raises(ValueError):
+        StaticVolume(small_volume, device="jax", mode="nearest")
+
+
+def test_cpu_batch_honors_mode_cval_output_profile(small_volume, capsys):
+    """Regression: the CPU affine_batch branch used to drop mode/cval/output/
+    profile (silently using cval=0 defaults)."""
+    sv = StaticVolume(small_volume, device="cpu", cval=5.0)
+    ms = np.stack([rotation_matrix((a, 0, 0), "deg", "rzxz")
+                   for a in (20.0, 50.0)])
+    batch = sv.affine_batch(ms, profile=True)
+    assert "finished in" in capsys.readouterr().out
+    for i, m in enumerate(ms):
+        expected = affine_transform(small_volume, m, order=1, cval=5.0)
+        np.testing.assert_allclose(batch[i], expected, atol=1e-6)
+    # non-trivial cval must actually reach the edges
+    assert np.isclose(batch[0].ravel().max(), 5.0, atol=1e-6) or (batch[0] == 5.0).any()
+    buf = np.empty_like(batch)
+    sv.affine_batch(ms, output=buf)
+    np.testing.assert_allclose(buf, batch, atol=0)

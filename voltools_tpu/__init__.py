@@ -8,7 +8,9 @@ multi-chip sharded execution, and a scipy CPU fallback.
 """
 
 from .transforms import (
+    PerformanceFallbackWarning,
     affine,
+    last_dispatch,
     rotate,
     scale,
     shear,
@@ -38,6 +40,8 @@ __all__ = [
     "shear",
     "translate",
     "StaticVolume",
+    "PerformanceFallbackWarning",
+    "last_dispatch",
     "AVAILABLE_INTERPOLATIONS",
     "AVAILABLE_DEVICES",
     "ops",

@@ -73,6 +73,12 @@ class ShardedVolume:
 
         if data.ndim != 3:
             raise ValueError("Expected a 3D array")
+        from ..ops.interpolation import AVAILABLE_INTERPOLATIONS, MODES
+        if interpolation not in AVAILABLE_INTERPOLATIONS:
+            raise ValueError(
+                f"Interpolation must be one of {AVAILABLE_INTERPOLATIONS}")
+        if mode not in MODES:
+            raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
         self.mesh = mesh if mesh is not None else make_mesh()
         self.axis_name = self.mesh.axis_names[0]
         n = self.mesh.devices.size

@@ -17,19 +17,24 @@ Output semantics (a deliberate deviation from the reference, which both
 overwrote its input device array and returned host numpy — see
 ``transforms.py:207-223`` there): inputs are **never mutated**.  By default a
 host ``numpy.ndarray`` is returned.  Passing ``output=<numpy array>`` fills
-that array in place and returns ``None`` (reference-compatible).  Passing
-``output='device'`` returns the device array without a device-to-host copy —
-the functional analogue of the reference's caller-provided GPU output buffer.
+that array in place; the CPU path then returns the filled array and device
+paths return ``None`` — exactly the reference's split (its CPU branch returns
+``output`` at ``transforms.py:159-162``, its GPU branch ``None`` at
+``transforms.py:224-226``).  Passing ``output='device'`` returns the device
+array without a device-to-host copy — the functional analogue of the
+reference's caller-provided GPU output buffer.
 """
 
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Tuple, Union
 
 import numpy as np
 
-from .ops.interpolation import AVAILABLE_INTERPOLATIONS, needs_prefilter, spline_order
+from .ops.interpolation import (AVAILABLE_INTERPOLATIONS, MODES,
+                                needs_prefilter, spline_order)
 from .utils import (
     ProfileTimer,
     compute_post_transform_dimensions,
@@ -105,14 +110,16 @@ def _affine_cpu(volume, transform_m, interpolation, reshape, output,
             volume, transform_m, interpolation, mode=mode, cval=cval,
             out_shape=output_shape,
             output=output if isinstance(output, np.ndarray) else None)
-        return None if isinstance(output, np.ndarray) else out
+        # reference CPU parity: with output= the filled array is returned
+        # (reference transforms.py:159-162); only device paths return None
+        return output if isinstance(output, np.ndarray) else out
 
     from scipy.ndimage import affine_transform
     out = affine_transform(volume, transform_m, output_shape=output_shape,
                            output=output if isinstance(output, np.ndarray) else None,
                            order=order, prefilter=prefilter, cval=cval)
     if isinstance(output, np.ndarray):
-        return None
+        return output
     return out
 
 
@@ -152,31 +159,72 @@ def _pick_impl(device) -> str:
     return "pallas"
 
 
+class PerformanceFallbackWarning(RuntimeWarning):
+    """A transform left the Pallas kernel regime and ran on the (much slower)
+    XLA gather path.  Silenceable via the warnings module; see
+    :func:`last_dispatch` for per-call dispatch introspection."""
+
+
 _RECENT_VARIANTS: list = []   # small MRU of compiled kernel configs
+_VARIANT_LOCK = threading.Lock()
+_LAST_DISPATCH = threading.local()
+
+
+def _record_dispatch(**info):
+    _LAST_DISPATCH.info = info
+
+
+def last_dispatch():
+    """Diagnostics: a dict describing how the calling thread's most recent
+    accelerated transform was served — ``{'impl': 'pallas'|'xla',
+    'variant': Variant|None, 'reason': str}``.  Lets a user sweeping random
+    orientations see which tier (and kernel config) served each call."""
+    return getattr(_LAST_DISPATCH, "info", None)
 
 
 def select_variant(transform_m, vol_shape, interpolation, mode, device):
     """Host-side pallas kernel config for a concrete matrix, or None.
 
     Recently-compiled variants are reused when their envelope covers the
-    matrix, so one-shot calls over an angle sweep share kernels."""
+    matrix, so one-shot calls over an angle sweep share kernels.  A regime
+    fallback (matrix outside every variant's window budget) emits one
+    :class:`PerformanceFallbackWarning` so sweeps aren't mysteriously slow."""
     if _pick_impl(device) != "pallas":
+        _record_dispatch(impl="xla", variant=None,
+                         reason="non-TPU backend")
         return None
     try:
         from .kernels.pallas_affine import choose_variant, variant_covers
         m = np.asarray(transform_m, np.float64)
-        for cached in _RECENT_VARIANTS:
-            if variant_covers(cached, m, vol_shape, interpolation, mode):
-                return cached
+        with _VARIANT_LOCK:
+            for cached in _RECENT_VARIANTS:
+                if variant_covers(cached, m, vol_shape, interpolation, mode):
+                    _record_dispatch(impl="pallas", variant=cached,
+                                     reason="cached variant envelope")
+                    return cached
         variant = choose_variant(m, vol_shape, interpolation, mode)
         if variant is not None:
-            _RECENT_VARIANTS.append(variant)
-            del _RECENT_VARIANTS[:-32]
+            with _VARIANT_LOCK:
+                _RECENT_VARIANTS.append(variant)
+                del _RECENT_VARIANTS[:-32]
+            _record_dispatch(impl="pallas", variant=variant,
+                             reason="new variant")
+        else:
+            import warnings
+            _record_dispatch(impl="xla", variant=None,
+                             reason="matrix outside kernel regime")
+            warnings.warn(
+                "transform matrix is outside the Pallas kernel regime; "
+                "running on the XLA gather path, which is much slower "
+                "(see voltools_tpu.last_dispatch() for details)",
+                PerformanceFallbackWarning, stacklevel=3)
         return variant
     except Exception as exc:
         # fall back to the XLA path, but never silently: a bug here would
         # otherwise just make everything mysteriously slow
         import warnings
+        _record_dispatch(impl="xla", variant=None,
+                         reason=f"variant selection failed: {exc!r}")
         warnings.warn(f"pallas variant selection failed ({exc!r}); "
                       f"falling back to the XLA sampler", RuntimeWarning)
         return None
@@ -240,6 +288,8 @@ def affine(volume: np.ndarray,
     if interpolation not in AVAILABLE_INTERPOLATIONS:
         raise ValueError(
             f"Interpolation must be one of {AVAILABLE_INTERPOLATIONS}")
+    if mode not in MODES:
+        raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
     if device not in _devices():
         raise ValueError(
             f"Unknown device ({device}), must be one of {_devices()}")

@@ -19,11 +19,12 @@ Differences from the reference, by design:
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Tuple, Union
 
 import numpy as np
 
-from .ops.interpolation import AVAILABLE_INTERPOLATIONS, needs_prefilter
+from .ops.interpolation import AVAILABLE_INTERPOLATIONS, MODES, needs_prefilter
 from .transforms import _as_triple, affine as _affine_fn
 from .utils import (
     ProfileTimer,
@@ -51,6 +52,8 @@ class StaticVolume:
         if interpolation not in AVAILABLE_INTERPOLATIONS:
             raise ValueError(
                 f"Interpolation must be one of {AVAILABLE_INTERPOLATIONS}")
+        if mode not in MODES:
+            raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
         available = get_available_devices()
         if device not in available:
             raise ValueError(
@@ -100,6 +103,7 @@ class StaticVolume:
         self._sampler = jax.jit(_sample)
         self._batch_sampler = jax.jit(jax.vmap(_sample, in_axes=(None, 0)))
         self._variant_samplers = {}
+        self._variant_lock = threading.Lock()
         # warm the compile so the first .affine() call is launch-only
         self._sampler(self.data, jnp.eye(4, dtype=jnp.float32))
 
@@ -110,23 +114,25 @@ class StaticVolume:
         so angle sweeps don't recompile per step."""
         from .kernels.pallas_affine import variant_covers
         from .transforms import select_variant
-        for cached in self._variant_samplers:
-            if (not isinstance(cached, tuple)
-                    and variant_covers(cached, transform_m, self.shape,
-                                       self.interpolation, self.mode)):
-                return self._variant_samplers[cached]
+        with self._variant_lock:
+            for cached in self._variant_samplers:
+                if (not isinstance(cached, tuple)
+                        and variant_covers(cached, transform_m, self.shape,
+                                           self.interpolation, self.mode)):
+                    return self._variant_samplers[cached]
         variant = select_variant(transform_m, self.shape, self.interpolation,
                                  self.mode, self._jdev)
         if variant is None:
             return self._sampler
-        if variant not in self._variant_samplers:
-            import jax
-            from .kernels.pallas_affine import affine_sample_pallas_variant
-            cval = self.cval
-            self._variant_samplers[variant] = jax.jit(
-                lambda vol, m: affine_sample_pallas_variant(vol, m, variant,
-                                                            cval))
-        return self._variant_samplers[variant]
+        with self._variant_lock:
+            if variant not in self._variant_samplers:
+                import jax
+                from .kernels.pallas_affine import affine_sample_pallas_variant
+                cval = self.cval
+                self._variant_samplers[variant] = jax.jit(
+                    lambda vol, m: affine_sample_pallas_variant(vol, m, variant,
+                                                                cval))
+            return self._variant_samplers[variant]
 
     def _device_batch_sampler(self, transform_ms):
         """Batched fast path: one envelope variant covering the whole matrix
@@ -137,18 +143,19 @@ class StaticVolume:
         if variant is None:
             return self._batch_sampler
         key = ("batch", variant)
-        if key not in self._variant_samplers:
-            import jax
-            from .kernels.pallas_affine import affine_sample_pallas_variant
-            cval = self.cval
+        with self._variant_lock:
+            if key not in self._variant_samplers:
+                import jax
+                from .kernels.pallas_affine import affine_sample_pallas_variant
+                cval = self.cval
 
-            def run(vol, ms):
-                return jax.lax.map(
-                    lambda m: affine_sample_pallas_variant(vol, m, variant,
-                                                           cval), ms)
+                def run(vol, ms):
+                    return jax.lax.map(
+                        lambda m: affine_sample_pallas_variant(vol, m, variant,
+                                                               cval), ms)
 
-            self._variant_samplers[key] = jax.jit(run)
-        return self._variant_samplers[key]
+                self._variant_samplers[key] = jax.jit(run)
+            return self._variant_samplers[key]
 
     # ------------------------------------------------------------------ core
 
@@ -192,9 +199,21 @@ class StaticVolume:
         ``output='device'`` requires the whole stack to fit."""
         transform_ms = np.asarray(transform_ms, dtype=np.float32)
         if self.device == "cpu":
-            return np.stack([
-                _affine_fn(self.data, m, interpolation=self._cpu_interp,
-                           device="cpu") for m in transform_ms])
+            timer = ProfileTimer() if profile else None
+            if timer:
+                timer.__enter__()
+            try:
+                result_np = np.stack([
+                    _affine_fn(self.data, m, interpolation=self._cpu_interp,
+                               device="cpu", mode=self.mode, cval=self.cval)
+                    for m in transform_ms])
+            finally:
+                if timer:
+                    timer.__exit__(None, None, None)
+            if output is None:
+                return result_np
+            np.copyto(output, result_np)
+            return output
         import jax.numpy as jnp
         n = transform_ms.shape[0]
         vol_bytes = 4 * int(np.prod(self.shape))
