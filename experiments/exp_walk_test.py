@@ -33,7 +33,7 @@ def main():
                              translation=tuple(rng.uniform(-3, 3, 3)))
         for interp, order in (("linear", 1), ("bspline", 3)):
             for mode in ("constant", "border"):
-                v = choose_walk_variant(m, shape, interp, mode, g=4)
+                v = choose_walk_variant(m, shape, interp, mode)
                 if v is None:
                     print(f"trial {trial} {interp}/{mode}: NO VARIANT")
                     continue
@@ -55,7 +55,7 @@ def main():
                           f"hz={v.hz} hy={v.hy} y_lo={v.y_lo} ps={v.ps} po={v.po}")
                 else:
                     print(f"trial {trial} {interp}/{mode}: ok ({err:.1e}) "
-                          f"hz={v.hz} hy={v.hy} slop={v.slop}")
+                          f"hz={v.hz} hy={v.hy} slop={v.slop_lo},{v.slop_hi}")
     print(f"\n{runs} runs, {fails} failures")
 
 

@@ -28,7 +28,7 @@ def main():
         m = transform_matrix(rotation=tuple(ang), rotation_order="sxyz",
                              center=(size / 2,) * 3)
         for interp in ("linear", "bspline"):
-            v = choose_walk_variant(m, vol.shape, interp, "constant", g=4)
+            v = choose_walk_variant(m, vol.shape, interp, "constant")
             if v is None:
                 print(f"64^3 {interp} trial{trial}: no variant"); continue
             t0 = time.time()
@@ -51,20 +51,30 @@ def main():
                              center=(size / 2,) * 3)
         mj = jnp.asarray(m, jnp.float32)
         for interp, g in (("linear", 8),):
-            v = choose_walk_variant(m, vol.shape, interp, "constant", g=g)
+            v = choose_walk_variant(m, vol.shape, interp, "constant")
             if v is None:
                 print(f"250^3 {interp} trial{trial}: no variant"); continue
             t = slope_time(
                 lambda vv, mm: affine_sample_pallas_walk(vv, mm, v, 0.0),
                 vol, mj, iters=8)
-            # spot parity too
+            # spot parity too (excluding voxels whose source coordinate sits
+            # within f32 rounding of the domain boundary, where inside/cval
+            # classification legitimately differs between f32 evaluations)
             got = np.asarray(affine_sample_pallas_walk(vol, mj, v, 0.0))
             want = np.asarray(jax.jit(
                 lambda vv, mm: affine_sample(vv, mm, interp, "constant", 0.0,
                                              prefiltered=True))(vol, mj))
-            err = np.abs(got - want).max()
+            err = np.abs(got - want)
+            idx = np.indices(vol.shape, dtype=np.float64).reshape(3, -1)
+            src = (m[:3, :3] @ idx + m[:3, 3:4]).reshape(3, *vol.shape)
+            tol = 1e-3
+            near = np.zeros(vol.shape, bool)
+            for ax in range(3):
+                near |= (np.abs(src[ax]) < tol) | (
+                    np.abs(src[ax] - (vol.shape[ax] - 1)) < tol)
+            err = np.where(near, 0.0, err).max()
             print(f"250^3 {interp} trial{trial} ang={np.round(ang,1)}: "
-                  f"{t:.1f}ms err={err:.2e} hz={v.hz} hy={v.hy} slop={v.slop} "
+                  f"{t:.1f}ms err={err:.2e} hz={v.hz} hy={v.hy} slop={v.slop_lo},{v.slop_hi} "
                   f"w=({v.w0},{v.w1}) ps={v.ps} po={v.po}")
 
 

@@ -4,38 +4,46 @@ The round-1 kernel (:mod:`.pallas_affine`) resolves the per-element source
 row with a select-tree scanned over *every* row-vreg of the tile's source
 window — O(window rows) vector work per output vreg.  For axis-dominant
 matrices windows are tiny and that is fast; for general 3-D rotations the
-window grows to thousands of rows and the scan dominates (measured 88% of
-a 245 ms call at 250^3; the DMA floor was 29 ms).
+window grows to thousands of rows and the scan dominates (measured: 88% of
+a 245 ms call at 250^3, against a 29 ms DMA floor).
 
-This kernel exploits the geometry instead: the 128 output lanes map to a
-*line* in source space, so the source rows an output vreg needs lie along a
-staircase that crosses only ``hz`` z-planes, and within one z-plane the
-active elements' y coordinates span only a few rows (the line's local
-y-window).  Per output vreg we therefore:
+This kernel exploits the geometry instead.  An output vreg covers a small
+output patch, whose source-space image crosses only ``hz`` z-planes; within
+one z-plane the active elements' y coordinates concentrate in a narrow band
+(``hy`` rows) around a per-plane line ``y_line(z)``.  Per output vreg we:
 
 * walk the ``hz`` source z-planes of the footprint (``fori_loop``);
-* per plane, read an ``hy``-row y-slice at a scalar, data-dependent offset
-  (``pl.ds`` on a non-minor window dim — the one dynamic-origin access TPUs
-  do cheaply);
-* resolve x with lane gathers + folded per-slot weights (same exact-weight
-  scheme as the round-1 kernel, ``pallas_affine.py`` stage 2);
-* resolve y with range-8 sublane gathers inside the slice;
+* per plane, read ``hy`` rows at a scalar, data-dependent y offset
+  (``pl.ds`` on a non-minor window dim — the one dynamic-origin access
+  TPUs do cheaply);
+* resolve x with lane gathers + folded per-slot exact weights (same scheme
+  as ``pallas_affine.py`` stage 2);
+* resolve y with range-8 sublane gathers inside the band;
 * resolve z arithmetically: each plane contributes ``sum_t w_t * [tap_t ==
   plane]`` — no gather at all.
 
-Vector work is O(hz * taps) per output vreg instead of O(window rows):
-~20-40x less for random full-3D rotations.  The source window is shared
-across a macro-tile of ``G`` output planes, cutting HBM traffic the same
-way (one window serves ``G`` output vregs).
+Vector work is O(hz * taps) per output vreg instead of O(window rows).
+
+**Lane packing**: a vreg's 128 lanes can cover a 2-D output patch
+``(vb, wb)`` (vb*wb = 128) instead of a 128-long line; with sublanes that
+makes the patch (8, vb, wb), whose source footprint is ~3-4x fewer z-planes
+than a line's for fully-3D rotations.  The kernel then writes a *blocked*
+output layout ``(U, V/vb, W/wb, 128)``; XLA un-blocks it afterwards
+(measured 0.06-0.55 ms at 250^3 — negligible).  ``vb=1`` degenerates to the
+plain line layout with a free reshape.
+
+**Macro windows**: one HBM->VMEM source window feeds a macro-tile of
+``gu x gv`` output vregs, amortizing DMA traffic.
 
 Reference behaviour being reproduced: the transform kernel of
 ``voltools/transforms.py:232-287`` with the texture reads of
-``kernels/helper_interpolation.h`` (1-tap linear / separable cubic
-B-spline), 'constant' (scipy) and 'border' (texture) edge semantics.
+``kernels/helper_interpolation.h`` (trilinear / separable cubic B-spline),
+'constant' (scipy) and 'border' (texture) edge semantics.
 """
 
 from __future__ import annotations
 
+import itertools
 import math
 from dataclasses import dataclass
 from typing import Optional, Tuple
@@ -46,28 +54,35 @@ from .pallas_affine import _adjusted_matrix
 
 # host-side tier limits
 _MAX_HZ = 192          # longest per-vreg plane walk we accept
-_MAX_HY = 24           # tallest per-plane y-slice (3 candidate sub-vregs)
+_MAX_HY = 32           # tallest per-plane y band (4 candidate sub-vregs)
 _SLOP_LIMIT = 6.0      # |x| drift across the 8 sublanes (dx slots cover it)
 _VMEM_BUDGET = 11 << 20
+_PACKINGS = ((1, 128), (2, 64), (4, 32), (8, 16))
+_MACROS = ((1, 8), (2, 4), (1, 4), (2, 2), (4, 2))
 
 
 @dataclass(frozen=True)
 class WalkVariant:
     """Static plane-walk kernel configuration chosen per matrix (host)."""
-    ps: Tuple[int, int, int]     # source axes -> (z=walk, y=sliced, x=lanes)
-    po: Tuple[int, int, int]     # output axes -> (grid, sub, lane)
-    g: int                       # output planes per macro window
-    w0: int                      # window z extent (covers G planes' walks)
+    ps: Tuple[int, int, int]     # source axes -> (z=walk, y=band, x=lanes)
+    po: Tuple[int, int, int]     # output axes -> (u=sublanes, v, w)
+    vb: int                      # lanes covering v (lane-hi)
+    wb: int                      # lanes covering w (lane-lo); vb*wb == 128
+    gu: int                      # macro vregs along u
+    gv: int                      # macro vregs along v
+    w0: int                      # window z extent (covers the macro)
     w1: int                      # window y extent
     hz: int                      # per-vreg walk length (planes)
-    hy: int                      # per-plane y-slice height
+    hy: int                      # per-plane y band height (multiple of 8)
+    kax: int                     # kappa = a[1,kax]/a[0,kax]; -1 -> kappa=0
     d: Tuple[int, int, int]      # permuted source dims
     dx_pad: int                  # x extent padded to lane multiple
-    out_d: Tuple[int, int, int]  # permuted output dims
+    out_d: Tuple[int, int, int]  # permuted output dims (u, v, w)
     order: int                   # 1 = trilinear, 3 = cubic B-spline
     mode: str                    # 'constant' | 'border'
-    slop: int                    # x drift across sublanes, ceil'd
-    y_lo: int                    # signed y-slice offset below the walk line
+    slop_lo: int                 # x drift below the sublane-0 base, ceil'd
+    slop_hi: int                 # x drift above it
+    y_lo: int                    # signed y-band offset below the walk line
 
     @property
     def nb(self) -> int:
@@ -79,131 +94,167 @@ class WalkVariant:
 
     @property
     def dxs(self):
-        pad = self.slop
+        lo = self.taps[0] - self.slop_lo
+        hi = self.taps[-1] + self.slop_hi
         if self.order == 3 and self.mode == "constant":
-            pad = max(pad, self.slop + 1 if self.slop else 1)
-        lo, hi = self.taps[0] - pad, self.taps[-1] + pad
+            # mirrored x taps can jump one slot past the drift near edges
+            lo -= 1
+            hi += 1
         return tuple(range(lo, hi + 1))
 
+    @property
+    def ycand(self) -> int:
+        return (self.hy + 7) // 8
 
-def _walk_geometry(aa_signed, order):
-    """Per-vreg walk/slice extents for one (ps, po) assignment.
 
-    ``aa_signed``: (3,4) permuted matrix (signed, float64).  Returns
-    (hz, hy, y_lo, slop, ok).  ``y_lo`` is the *signed* lower offset of the
-    y-slice relative to the walk line's y(k) (host-side constant; the kernel
-    adds it to the per-plane line y).
+def _geometry(a, order, vb, wb, kax):
+    """Per-vreg walk/band extents for one (ps, po, packing, kappa) choice.
+
+    ``a``: (3,4) permuted matrix (signed, float64).  Element coordinates
+    within a vreg: (s, vl, wl) with extents (7, vb-1, wb-1).  Returns
+    (hz, hy_raw, y_lo, (slop_lo, slop_hi), kappa) or None.
     """
-    a = aa_signed
+    e = (7.0, float(vb - 1), float(wb - 1))
     tapspan = 1 if order == 1 else 3
-    mirror_slack = 1 if order == 1 else 2
+    t_lo, t_hi = (0, 1) if order == 1 else (-1, 2)
 
-    # walk length: z spread across the (8, 128) tile + taps + floor rounding
-    span_z = abs(a[0, 1]) * 7 + abs(a[0, 2]) * 127
-    hz = int(math.ceil(span_z)) + tapspan + 2 + mirror_slack
+    span_z = sum(abs(a[0, i]) * e[i] for i in range(3))
+    # +1 floor rounding, +1 walk-origin offset, +1 f32 scalar-vs-vector skew
+    hz = int(math.ceil(span_z)) + tapspan + 3
 
-    # x drift across sublanes (x base is taken at sublane 0)
-    drift = abs(a[2, 1]) * 7.0
-    if drift > _SLOP_LIMIT:
+    # signed x drift across sublanes (x base is taken at sublane 0); epsilon
+    # guards the ceil against f32 floor flips at near-integer drift
+    drift = a[2, 0] * 7.0
+    if abs(drift) > _SLOP_LIMIT:
         return None
-    slop = 0 if drift <= 1e-5 else int(math.ceil(drift))
+    slop_lo = int(math.ceil(-drift + 1e-4)) if drift < -1e-5 else 0
+    slop_hi = int(math.ceil(drift + 1e-4)) if drift > 1e-5 else 0
 
-    # y window around the line: active elements at a fixed plane satisfy
-    # |z - plane| <= tapspan+1; eliminating the lane coordinate,
-    #   y - y_line(k) = (a11 - kappa*a01)*s + a12*delta,
-    # with kappa = a12/a02 and |a02*delta| <= tapspan+1.
-    az_l = a[0, 2]
-    if abs(az_l) < 1e-6:
-        # z barely moves along lanes: the active set covers all lanes, so the
-        # y window must span the whole lane y-motion instead
+    # y band: an element is active at plane zk exactly when zf - zk is in
+    # [-t_hi, t_hi); with y_line(zk) = yc + kappa*(zk - zc) (base corner),
+    #   y - y_line = sum_i (a1i - kappa*a0i) * xi_i + kappa*(zf - zk),
+    # xi_i in [0, e_i].
+    if kax < 0:
         kappa = 0.0
-        sub_coef = a[1, 1]
-        wob = abs(a[1, 2]) * 127.0
     else:
-        kappa = a[1, 2] / az_l
-        sub_coef = a[1, 1] - kappa * a[0, 1]
-        wob = abs(kappa) * (tapspan + 1.0)
-    lo = min(0.0, sub_coef * 7) - wob - 1.0
-    hi = max(0.0, sub_coef * 7) + wob + 1.0
-    # interpolation taps on y, plus mirror slack at the volume edges
-    y_lo = int(math.floor(lo)) + (0 if order == 1 else -1) - mirror_slack
-    y_hi = int(math.ceil(hi)) + tapspan + mirror_slack
-    hy = y_hi - y_lo + 1
-    return hz, hy, y_lo, slop, kappa
+        if abs(a[0, kax]) < 1e-6:
+            return None
+        kappa = a[1, kax] / a[0, kax]
+    res = [a[1, i] - kappa * a[0, i] for i in range(3)]
+    wob = abs(kappa) * float(t_hi)
+    lo = sum(min(res[i] * e[i], 0.0) for i in range(3)) - wob
+    hi = sum(max(res[i] * e[i], 0.0) for i in range(3)) + wob
+    # y taps, one slot of floor rounding per side, one slot f32 skew low
+    y_lo = int(math.floor(lo)) + t_lo - 2
+    y_hi = int(math.ceil(hi)) + t_hi + 1
+    return hz, y_hi - y_lo + 1, y_lo, (slop_lo, slop_hi), kappa
 
 
 def choose_walk_variant(matrix, vol_shape, interpolation: str,
-                        mode: str = "constant",
-                        g: int = 8) -> Optional[WalkVariant]:
-    """Pick the cheapest (ps, po) assignment for the plane-walk kernel.
+                        mode: str = "constant") -> Optional[WalkVariant]:
+    """Pick the cheapest (axes, packing, macro) assignment for the kernel.
 
-    ``matrix`` may be (4,4) or a (N,4,4) batch (envelope over the batch).
-    Returns None when no assignment fits the slice/walk limits.
+    ``matrix`` may be (4,4) or (N,4,4) (envelope over the batch).  Returns
+    None when no assignment fits the band/walk limits.
     """
-    import itertools
-
     matrices = np.asarray(matrix, dtype=np.float64)
     if matrices.ndim == 2:
         matrices = matrices[None]
     order = 1 if interpolation == "linear" else 3
     ntaps = 2 if order == 1 else 4
+    tapspan = ntaps - 1
     best = None
     best_cost = None
     for ps in itertools.permutations((0, 1, 2)):
         for po in itertools.permutations((0, 1, 2)):
-            geos = []
-            for m in matrices:
-                geo = _walk_geometry(_adjusted_matrix(m, ps, po), order)
-                if geo is None:
-                    geos = None
-                    break
-                geos.append(geo)
-            if geos is None:
-                continue
-            hz = max(gg[0] for gg in geos)
-            y_lo = min(gg[2] for gg in geos)
-            y_hi = max(gg[2] + gg[1] - 1 for gg in geos)
-            # slice reads happen in whole 8-row candidate groups, so hy must
-            # be a multiple of 8 (a partial last group would read past the
-            # window and Mosaic clamps the slice start, shifting rows)
-            hy = (y_hi - y_lo + 8) // 8 * 8
-            slop = max(gg[3] for gg in geos)
-            if hz > _MAX_HZ or hy > _MAX_HY:
-                continue
-            d = tuple(vol_shape[ps[k]] for k in range(3))
-            hz_c = min(hz, d[0])
-            hy_c = hy
-            aa = np.max(np.stack([np.abs(_adjusted_matrix(m, ps, po))
-                                  for m in matrices]), axis=0)
-            # macro window extents: per-vreg footprint + G-plane motion
-            w0 = min(int(math.ceil(hz_c + aa[0, 0] * (g - 1))) + 1, d[0])
-            w1 = min(int(math.ceil(
-                aa[1, 0] * (g - 1) + aa[1, 1] * 7 + aa[1, 2] * 127
-                + ntaps + 4)) + 1 + hy_c, d[1])
-            if hy_c > w1:
-                continue   # volume too small for the slice height
-            dx_pad = ((vol_shape[ps[2]] + 127) // 128) * 128
-            nb = dx_pad // 128
-            win_bytes = 2 * w0 * w1 * nb * 128 * 4
-            if win_bytes > _VMEM_BUDGET:
-                continue
-            out_d = tuple(vol_shape[po[k]] for k in range(3))
-            # cost model: per plane ~ (slice + x-gathers + taps*(ndx
-            # gathers+fma) * ceil(hy/8) candidates) ; plus fixed per vreg
-            pad = max(slop, slop + 1 if slop else 1) if order == 3 else slop
-            ndx = ntaps + 2 * pad
-            ycand = (hy_c + 7) // 8
-            per_plane = 1 + nb * ndx + ntaps * ycand * (ndx + 2) + ntaps + 3
-            cost = hz_c * per_plane + 180
-            # DMA term: window bytes per G output vregs, in op-equivalents
-            cost += (w0 * w1 * nb * 128 * 4) / (g * 700.0)
-            if best_cost is None or cost < best_cost:
-                best_cost = cost
-                best = WalkVariant(ps=ps, po=tuple(po), g=g, w0=w0, w1=w1,
-                                   hz=hz_c, hy=hy_c, d=d, dx_pad=dx_pad,
-                                   out_d=out_d, order=order, mode=mode,
-                                   slop=slop, y_lo=y_lo)
+            aas = [_adjusted_matrix(m, ps, po) for m in matrices]
+            aa = np.max(np.abs(np.stack(aas)), axis=0)
+            for vb, wb in _PACKINGS:
+                for kax in (-1, 0, 1, 2):
+                    geos = [_geometry(a, order, vb, wb, kax) for a in aas]
+                    if any(g is None for g in geos):
+                        continue
+                    hz = max(g[0] for g in geos)
+                    y_lo = min(g[2] for g in geos)
+                    y_hi = max(g[2] + g[1] - 1 for g in geos)
+                    # whole 8-row groups: a partial group would read past
+                    # the window (Mosaic clamps the start, shifting rows)
+                    hy = (y_hi - y_lo + 8) // 8 * 8
+                    slop_lo = max(g[3][0] for g in geos)
+                    slop_hi = max(g[3][1] for g in geos)
+                    kap = max(abs(g[4]) for g in geos)
+                    if hz > _MAX_HZ or hy > _MAX_HY:
+                        continue
+                    d = tuple(vol_shape[ps[k]] for k in range(3))
+                    hz_c = min(hz, d[0])
+                    out_d = tuple(vol_shape[po[k]] for k in range(3))
+                    dx_pad = ((d[2] + 127) // 128) * 128
+                    nb = dx_pad // 128
+                    ndx = ntaps + slop_lo + slop_hi
+                    if order == 3 and mode == "constant":
+                        ndx += 2
+                    ycand = (hy + 7) // 8
+                    for gu, gv in _MACROS:
+                        E = (8.0 * gu - 1.0, vb * gv - 1.0, wb - 1.0)
+                        w0 = min(int(math.ceil(
+                            sum(aa[0, i] * E[i] for i in range(3))))
+                            + tapspan + 4, d[0])
+                        resmax = np.max(np.abs(np.stack(
+                            [[a[1, i] - g[4] * a[0, i] for i in range(3)]
+                             for a, g in zip(aas, geos)])), axis=0)
+                        zrange = w0 + 1.0
+                        w1 = min(int(math.ceil(
+                            sum(resmax[i] * E[i] for i in range(3))
+                            + kap * zrange)) + 3 + hy, d[1])
+                        if hy > w1:
+                            continue
+                        win_bytes = 2 * w0 * w1 * nb * 128 * 4
+                        if win_bytes > _VMEM_BUDGET:
+                            continue
+                        # ops-calibrated cost model (per plane / per vreg)
+                        per_plane = (ycand * nb * (1 + ndx)
+                                     + (nb - 1) * ycand * ndx * 2
+                                     + ntaps * ycand * (2 * ndx + 3)
+                                     + 3 * ntaps + 10)
+                        fixed = 170 + 6 * ndx * ntaps
+                        per_vreg = hz_c * per_plane + fixed
+                        nvregs = (out_d[0] * out_d[1] * out_d[2]) / 1024.0
+                        dma = (w0 * w1 * nb * 128 * 4) / (gu * gv) / 700.0
+                        cost = (per_vreg + dma) * nvregs
+                        if best_cost is None or cost < best_cost:
+                            best_cost = cost
+                            best = WalkVariant(
+                                ps=ps, po=tuple(po), vb=vb, wb=wb, gu=gu,
+                                gv=gv, w0=w0, w1=w1, hz=hz_c, hy=hy,
+                                kax=kax, d=d, dx_pad=dx_pad, out_d=out_d,
+                                order=order, mode=mode, slop_lo=slop_lo,
+                                slop_hi=slop_hi, y_lo=y_lo)
     return best
+
+
+def walk_variant_covers(v: WalkVariant, matrix, vol_shape,
+                        interpolation: str, mode: str = "constant") -> bool:
+    """True when a compiled variant's envelope covers ``matrix`` (lets
+    sweeps reuse kernels instead of recompiling per angle)."""
+    order = 1 if interpolation == "linear" else 3
+    if order != v.order or mode != v.mode:
+        return False
+    if tuple(vol_shape[v.ps[k]] for k in range(3)) != v.d:
+        return False
+    matrices = np.asarray(matrix, dtype=np.float64)
+    if matrices.ndim == 2:
+        matrices = matrices[None]
+    for m in matrices:
+        a = _adjusted_matrix(m, v.ps, v.po)
+        g = _geometry(a, order, v.vb, v.wb, v.kax)
+        if g is None:
+            return False
+        hz, hy_raw, y_lo, (sl, sh), _ = g
+        if (hz > v.hz or y_lo < v.y_lo
+                or y_lo + hy_raw - 1 > v.y_lo + v.hy - 1
+                or sl > v.slop_lo or sh > v.slop_hi):
+            return False
+    return True
 
 
 def _make_walk_kernel(v: WalkVariant, cval: float):
@@ -218,37 +269,67 @@ def _make_walk_kernel(v: WalkVariant, cval: float):
     d0, d1, d2 = v.d
     w0, w1 = v.w0, v.w1
     hz, hy = v.hz, v.hy
-    G = v.g
+    vb, wb = v.vb, v.wb
+    gu, gv = v.gu, v.gv
     nb = v.nb
     taps = v.taps
     dxs = v.dxs
     order = v.order
     ntaps = len(taps)
     constant = v.mode == "constant"
-    ycand = (hy + 7) // 8
+    ycand = v.ycand
+    wsh = wb.bit_length() - 1   # wb is a power of two
     depth = 2
 
     def kernel(mat_ref, vol_hbm, out_ref, win_ref, sem):
-        gi = pl.program_id(0)
-        si = pl.program_id(1)
-        li = pl.program_id(2)
-        ng = pl.num_programs(0)
-        ns = pl.num_programs(1)
-        nl = pl.num_programs(2)
+        ui = pl.program_id(0)
+        vi = pl.program_id(1)
+        wi = pl.program_id(2)
+        nu = pl.num_programs(0)
+        nv = pl.num_programs(1)
+        nw = pl.num_programs(2)
         a = mat_ref  # (3,4) SMEM, permuted
 
-        # ---- macro window origin (scalar, min over macro-tile corners)
-        def origin(r, wr, dr, gp, sb, lb):
-            base = a[r, 0] * gp + a[r, 1] * sb + a[r, 2] * lb + a[r, 3]
-            lo = (base + jnp.minimum(a[r, 0] * (G - 1.0), 0.0)
-                  + jnp.minimum(a[r, 1] * 7.0, 0.0)
-                  + jnp.minimum(a[r, 2] * 127.0, 0.0))
-            o = jnp.floor(lo).astype(jnp.int32) - (2 if order == 3 else 1) - 1
-            return jnp.clip(o, 0, dr - wr)
+        if v.kax < 0:
+            kappa = jnp.float32(0.0)
+        else:
+            kappa = a[1, v.kax] / a[0, v.kax]
 
-        def origins(gp, sb, lb):
-            return (origin(0, w0, d0, gp, sb, lb),
-                    origin(1, w1, d1, gp, sb, lb))
+        # walk/window z start: lowest tap is floor(zf) + taps[0], minus one
+        # slot of floor rounding and one of f32 skew
+        zoff = taps[0] - 2
+
+        def zorg_of(ub, vbase, wbase):
+            zc = a[0, 0] * ub + a[0, 1] * vbase + a[0, 2] * wbase + a[0, 3]
+            zlo = (zc + jnp.minimum(a[0, 0] * 7.0, 0.0)
+                   + jnp.minimum(a[0, 1] * (vb - 1.0), 0.0)
+                   + jnp.minimum(a[0, 2] * (wb - 1.0), 0.0))
+            zorg = jnp.floor(zlo).astype(jnp.int32) + zoff
+            return jnp.clip(zorg, 0, d0 - hz), zc
+
+        def yb_of(ub, vbase, wbase, zk):
+            """y-band start the walk will use at plane zk (unclipped)."""
+            zc = a[0, 0] * ub + a[0, 1] * vbase + a[0, 2] * wbase + a[0, 3]
+            yc = a[1, 0] * ub + a[1, 1] * vbase + a[1, 2] * wbase + a[1, 3]
+            y_line = yc + kappa * (zk.astype(jnp.float32) - zc)
+            return jnp.floor(y_line).astype(jnp.int32) + jnp.int32(v.y_lo)
+
+        def origins(ubt, vbt, wbt):
+            """Window origin: extremes of (zorg, yb) over the macro's walks;
+            affine in each macro coordinate and in the walk plane, so the
+            corners bound them."""
+            o0 = None
+            o1 = None
+            for cu in (0.0, float(8 * (gu - 1))):
+                for cv in (0.0, float(vb * (gv - 1))):
+                    zorg_c, _ = zorg_of(ubt + cu, vbt + cv, wbt)
+                    o0 = zorg_c if o0 is None else jnp.minimum(o0, zorg_c)
+                    for endk in (0, hz - 1):
+                        yb = yb_of(ubt + cu, vbt + cv, wbt, zorg_c + endk)
+                        o1 = yb if o1 is None else jnp.minimum(o1, yb)
+            o0 = jnp.clip(o0, 0, d0 - w0)
+            o1 = jnp.clip(o1, 0, d1 - w1)
+            return o0, o1
 
         def start_window_dma(slot, oo0, oo1):
             for b in range(nb):
@@ -256,23 +337,23 @@ def _make_walk_kernel(v: WalkVariant, cval: float):
                     vol_hbm.at[pl.ds(oo0, w0), pl.ds(oo1, w1), b],
                     win_ref.at[slot, b], sem.at[slot, b]).start()
 
-        step = (gi * ns + si) * nl + li
-        total = ng * ns * nl
+        step = (ui * nv + vi) * nw + wi
+        total = nu * nv * nw
         slot = jax.lax.rem(step, depth)
 
-        def step_origins(t):
-            gg = t // (ns * nl)
-            rest = t - gg * (ns * nl)
-            ss = rest // nl
-            ll = rest - ss * nl
-            return origins((gg * G).astype(jnp.float32),
-                           (ss * 8).astype(jnp.float32),
-                           (ll * 128).astype(jnp.float32))
+        def step_bases(t):
+            uu = t // (nv * nw)
+            rest = t - uu * (nv * nw)
+            vv = rest // nw
+            ww = rest - vv * nw
+            return ((uu * (8 * gu)).astype(jnp.float32),
+                    (vv * (vb * gv)).astype(jnp.float32),
+                    (ww * wb).astype(jnp.float32))
 
-        gpos = (gi * G).astype(jnp.float32)
-        sbase = (si * 8).astype(jnp.float32)
-        lbase = (li * 128).astype(jnp.float32)
-        o0, o1 = origins(gpos, sbase, lbase)
+        ubt = (ui * (8 * gu)).astype(jnp.float32)
+        vbt = (vi * (vb * gv)).astype(jnp.float32)
+        wbt = (wi * wb).astype(jnp.float32)
+        o0, o1 = origins(ubt, vbt, wbt)
 
         @pl.when(step == 0)
         def _():
@@ -284,31 +365,37 @@ def _make_walk_kernel(v: WalkVariant, cval: float):
 
                 @pl.when(t < total)
                 def _(t=t, j=j):
-                    oo0, oo1 = step_origins(t)
-                    start_window_dma(j, oo0, oo1)
+                    bb = step_bases(t)
+                    start_window_dma(j, *origins(*bb))
 
         @pl.when(step + depth - 1 < total)
         def _():
             t = step + depth - 1
-            oo0, oo1 = step_origins(t)
-            start_window_dma(jax.lax.rem(t, depth), oo0, oo1)
+            bb = step_bases(t)
+            start_window_dma(jax.lax.rem(t, depth), *origins(*bb))
 
         for b in range(nb):
             pltpu.make_async_copy(
                 vol_hbm.at[pl.ds(o0, w0), pl.ds(o1, w1), b],
                 win_ref.at[slot, b], sem.at[slot, b]).wait()
 
-        s_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0).astype(jnp.float32)
-        l_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1).astype(jnp.float32)
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        l_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        sf = s_iota.astype(jnp.float32)
+        vlf = (l_iota >> wsh).astype(jnp.float32)
+        wlf = (l_iota & (wb - 1)).astype(jnp.float32)
 
-        # one output plane of the macro-tile
-        def do_plane(g):
-            gp = gpos + g.astype(jnp.float32)
-            sp = sbase + s_iota
-            lp = lbase + l_iota
+        # one output vreg of the macro-tile
+        def do_vreg(igu, igv):
+            ub = ubt + 8.0 * igu
+            vbase = vbt + float(vb) * igv
+            up = ub + sf
+            vp = vbase + vlf
+            wp = wbt + wlf
 
             def coord(r):
-                return a[r, 0] * gp + a[r, 1] * sp + a[r, 2] * lp + a[r, 3]
+                return (a[r, 0] * up + a[r, 1] * vp + a[r, 2] * wp
+                        + a[r, 3])
 
             zf = coord(0)
             yf = coord(1)
@@ -331,9 +418,9 @@ def _make_walk_kernel(v: WalkVariant, cval: float):
                 wy = _bspline_w(fy)
                 wx = _bspline_w(fx)
 
-            # x base per lane (sublane 0), lane-gather decomposition + folded
-            # exact x weights (same scheme as pallas_affine stage 2)
-            xb_row = a[2, 0] * gp + a[2, 1] * sbase + a[2, 2] * lp + a[2, 3]
+            # x base per lane (sublane 0), lane-gather decomposition +
+            # folded exact x weights (pallas_affine stage-2 scheme)
+            xb_row = (a[2, 0] * ub + a[2, 1] * vp + a[2, 2] * wp + a[2, 3])
             xb = jnp.floor(xb_row).astype(jnp.int32)
             dxneed = x0 - xb
 
@@ -351,6 +438,12 @@ def _make_walk_kernel(v: WalkVariant, cval: float):
             for dx in dxs:
                 idx = jnp.clip(xb + dx, 0, d2 - 1)
                 xparts[dx] = (idx >> 7, idx & 127)
+            # hoisted per-block lane masks for the multi-block blend
+            bmask = {}
+            if nb > 1:
+                for dx in dxs:
+                    blk = xparts[dx][0]
+                    bmask[dx] = [blk == b for b in range(1, nb)]
             wfold = {}
             for dx in dxs:
                 acc = jnp.zeros((8, 128), jnp.float32)
@@ -383,70 +476,60 @@ def _make_walk_kernel(v: WalkVariant, cval: float):
                 if yvalid is not None:
                     w = jnp.where(yvalid, w, 0.0)
                 wys.append(w)
+            wzs = []
+            for iz, (zt, zvalid) in enumerate(ztaps):
+                w = wz[iz]
+                if zvalid is not None:
+                    w = jnp.where(zvalid, w, 0.0)
+                wzs.append(w)
 
-            # scalar walk-line parameters for this output plane:
-            #   z along lanes: z(l) = zc + az_l * l ;  y(l) = yc + ay_l * l
-            # per walk plane k (global z = zk), the line's y is
-            #   y_line(zk) = yc + kappa * (zk - zc)
-            zc = a[0, 0] * gp + a[0, 1] * sbase + a[0, 2] * lbase + a[0, 3]
-            yc = a[1, 0] * gp + a[1, 1] * sbase + a[1, 2] * lbase + a[1, 3]
-            az_l = a[0, 2]
-            safe = jnp.abs(az_l) > 1e-6
-            kappa = jnp.where(safe, a[1, 2] / jnp.where(safe, az_l, 1.0), 0.0)
-
-            # per-vreg walk start (scalar): min z over tile corners + taps
-            zlo = (zc + jnp.minimum(a[0, 1] * 7.0, 0.0)
-                   + jnp.minimum(a[0, 2] * 127.0, 0.0))
-            zorg = jnp.floor(zlo).astype(jnp.int32) - (2 if order == 3 else 1) - 1
-            zorg = jnp.clip(zorg, 0, d0 - hz)
+            zorg, _ = zorg_of(ub, vbase, wbt)
 
             def plane_step(k, acc):
                 zk = zorg + k
-                # y-slice origin for this plane (scalar)
-                y_line = yc + kappa * (zk.astype(jnp.float32) - zc)
-                yb_k = (jnp.floor(y_line).astype(jnp.int32)
-                        + jnp.int32(v.y_lo))
+                yb_k = yb_of(ub, vbase, wbt, zk)
                 yb_k = jnp.clip(yb_k, o1, o1 + w1 - hy)
 
-                # per-plane z weight: sum of tap weights that land on zk
-                wplane = jnp.zeros((8, 128), jnp.float32)
-                for iz, (zt, zvalid) in enumerate(ztaps):
-                    w = wz[iz]
-                    if zvalid is not None:
-                        w = jnp.where(zvalid, w, 0.0)
-                    wplane = wplane + jnp.where(zt == zk, w, 0.0)
+                # per-plane z weight: sum of tap weights landing on zk
+                wplane = None
+                for iz, (zt, _) in enumerate(ztaps):
+                    term = jnp.where(zt == zk, wzs[iz], 0.0)
+                    wplane = term if wplane is None else wplane + term
 
-                # y-slice (hy, 128*nb), x-gathered at the dx slots
+                # y-band rows, x-gathered at the dx slots
                 gx = {}
                 for c in range(ycand):
                     rows = [win_ref[slot, b, zk - o0,
                                     pl.ds(yb_k - o1 + c * 8, 8), :]
                             for b in range(nb)]
                     for dx in dxs:
-                        blk, within = xparts[dx]
-                        g_acc = None
-                        for b in range(nb):
-                            gat = jnp.take_along_axis(rows[b], within, axis=1)
-                            g_acc = gat if g_acc is None else jnp.where(
-                                blk == b, gat, g_acc)
+                        _, within = xparts[dx]
+                        g_acc = jnp.take_along_axis(rows[0], within, axis=1)
+                        for b in range(1, nb):
+                            gat = jnp.take_along_axis(rows[b], within,
+                                                      axis=1)
+                            g_acc = jnp.where(bmask[dx][b - 1], gat, g_acc)
                         gx[(c, dx)] = g_acc
 
-                # y taps: range-8 sublane gathers within the slice
-                val = jnp.zeros((8, 128), jnp.float32)
+                # y taps: range-8 sublane gathers within the band
+                val = None
                 for iy, (yt, _) in enumerate(ytaps):
                     yrel = yt - yb_k
-                    hit = jnp.zeros((8, 128), jnp.float32)
+                    hit = None
                     for c in range(ycand):
                         m = yrel - c * 8
-                        mok = (m >= 0) & (m < 8)
                         mc = jnp.clip(m, 0, 7)
-                        part = jnp.zeros((8, 128), jnp.float32)
+                        part = None
                         for dx in dxs:
-                            part = part + wfold[dx] * jnp.take_along_axis(
+                            p = wfold[dx] * jnp.take_along_axis(
                                 gx[(c, dx)], mc, axis=0)
-                        hit = hit + jnp.where(mok, part, 0.0) if ycand > 1 \
-                            else part
-                    val = val + wys[iy] * hit
+                            part = p if part is None else part + p
+                        if ycand > 1:
+                            mok = (m >= 0) & (m < 8)
+                            part = jnp.where(mok, part, 0.0)
+                        hit = part if hit is None else hit + part
+                    term = wys[iy] * hit
+                    val = term if val is None else val + term
                 return acc + wplane * val
 
             out = jax.lax.fori_loop(0, hz, plane_step,
@@ -458,10 +541,12 @@ def _make_walk_kernel(v: WalkVariant, cval: float):
             else:
                 inside = ((zf > -0.5) & (zf < d0 - 0.5) & (yf > -0.5)
                           & (yf < d1 - 0.5) & (xf > -0.5) & (xf < d2 - 0.5))
-            out_ref[g, :, :] = jnp.where(inside, out, jnp.float32(cval))
+            out_ref[igv, 0, pl.ds(igu * 8, 8), :] = jnp.where(
+                inside, out, jnp.float32(cval))
 
-        for g in range(G):
-            do_plane(jnp.int32(g))
+        for igu in range(gu):
+            for igv in range(gv):
+                do_vreg(igu, igv)
 
     return kernel
 
@@ -485,28 +570,36 @@ def affine_sample_pallas_walk(volume, matrix, v: WalkVariant,
     cols = jnp.stack([rows[:, v.po[j]] for j in range(3)] + [rows[:, 3]],
                      axis=1)
 
-    og, os_, ol = v.out_d
-    og_pad = ((og + v.g - 1) // v.g) * v.g
-    os_pad = ((os_ + 7) // 8) * 8
-    ol_pad = ((ol + 127) // 128) * 128
-    grid = (og_pad // v.g, os_pad // 8, ol_pad // 128)
+    U, V, W = v.out_d
+    U_pad = -(8 * v.gu) * (-U // (8 * v.gu))
+    V_pad = -(v.vb * v.gv) * (-V // (v.vb * v.gv))
+    W_pad = -v.wb * (-W // v.wb)
+    grid = (U_pad // (8 * v.gu), V_pad // (v.vb * v.gv), W_pad // v.wb)
 
     kernel = _make_walk_kernel(v, cval)
-    out = pl.pallas_call(
+    out_b = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((v.g, 8, 128), lambda g, s, l: (g, s, l),
+        # blocked layout (V/vb, W/wb, U, 128): Mosaic requires the block's
+        # trailing two dims to be (8k, 128)-aligned, so U and the lane pack
+        # go last
+        out_specs=pl.BlockSpec((v.gv, 1, 8 * v.gu, 128),
+                               lambda u, vv, w: (vv, w, u, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((og_pad, os_pad, ol_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (V_pad // v.vb, W_pad // v.wb, U_pad, 128), jnp.float32),
         scratch_shapes=[pltpu.VMEM((2, v.nb, v.w0, v.w1, 128), jnp.float32),
                         pltpu.SemaphoreType.DMA((2, v.nb))],
         interpret=interpret,
     )(cols, vol_p)
 
-    out = out[:og, :os_, :ol]
+    # un-block: (V/vb, W/wb, U, vb, wb) -> (U, V, W) (XLA relayout)
+    out = out_b.reshape(V_pad // v.vb, W_pad // v.wb, U_pad, v.vb, v.wb)
+    out = jnp.transpose(out, (2, 0, 3, 1, 4)).reshape(U_pad, V_pad, W_pad)
+    out = out[:U, :V, :W]
     inv = tuple(np.argsort(v.po))
     return jnp.transpose(out, inv)
