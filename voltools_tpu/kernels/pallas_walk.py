@@ -76,7 +76,8 @@ class WalkVariant:
     hy: int                      # per-plane y band height (multiple of 8)
     kax: int                     # kappa = a[1,kax]/a[0,kax]; -1 -> kappa=0
     d: Tuple[int, int, int]      # permuted source dims
-    dx_pad: int                  # x extent padded to lane multiple
+    xg: int                      # HBM x-block granularity (32 or 128)
+    xw: int                      # window lane width (multiple of 128)
     out_d: Tuple[int, int, int]  # permuted output dims (u, v, w)
     order: int                   # 1 = trilinear, 3 = cubic B-spline
     mode: str                    # 'constant' | 'border'
@@ -85,8 +86,29 @@ class WalkVariant:
     y_lo: int                    # signed y-band offset below the walk line
 
     @property
-    def nb(self) -> int:
-        return self.dx_pad // 128
+    def nbw(self) -> int:
+        """gather blocks (128-wide) per window"""
+        return self.xw // 128
+
+    @property
+    def dyn_x(self) -> bool:
+        """window x origin is dynamic (xg-granular) instead of 0"""
+        return self.xg < 128
+
+    @property
+    def ncopies(self) -> int:
+        """x-shifted HBM copies (HBM minor dims must stay 128-tiled, so a
+        32-granular window origin is realized by picking among 4 copies
+        shifted by 0/32/64/96 and a 128-aligned block within the copy)"""
+        return 128 // self.xg
+
+    @property
+    def nbk(self) -> int:
+        """128-wide x blocks per copy in the HBM layout"""
+        if not self.dyn_x:
+            return -(-self.d[2] // 128)
+        tmax = max(self.d[2] - 1, 0) // self.xg
+        return tmax // self.ncopies + self.nbw
 
     @property
     def taps(self):
@@ -189,7 +211,6 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
                     hz_c = min(hz, d[0])
                     out_d = tuple(vol_shape[po[k]] for k in range(3))
                     dx_pad = ((d[2] + 127) // 128) * 128
-                    nb = dx_pad // 128
                     ndx = ntaps + slop_lo + slop_hi
                     if order == 3 and mode == "constant":
                         ndx += 2
@@ -208,25 +229,36 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
                             + kap * zrange)) + 3 + hy, d[1])
                         if hy > w1:
                             continue
-                        win_bytes = 2 * w0 * w1 * nb * 128 * 4
+                        # window x: a dynamically-positioned 128-wide window
+                        # of 32-granular blocks when the macro's x footprint
+                        # fits; otherwise the full padded x extent
+                        span_x = (sum(aa[2, i] * E[i] for i in range(3))
+                                  + tapspan + slop_lo + slop_hi + 4)
+                        if span_x <= 128 - 32 - 2 and dx_pad > 128:
+                            xg, xw = 32, 128
+                        else:
+                            xg, xw = 128, dx_pad
+                        nbw = xw // 128
+                        win_bytes = 2 * w0 * w1 * xw * 4
                         if win_bytes > _VMEM_BUDGET:
                             continue
                         # ops-calibrated cost model (per plane / per vreg)
-                        per_plane = (ycand * nb * (1 + ndx)
-                                     + (nb - 1) * ycand * ndx * 2
+                        per_plane = (ycand * nbw * (1 + ndx)
+                                     + (nbw - 1) * ycand * ndx * 2
                                      + ntaps * ycand * (2 * ndx + 3)
                                      + 3 * ntaps + 10)
                         fixed = 170 + 6 * ndx * ntaps
                         per_vreg = hz_c * per_plane + fixed
                         nvregs = (out_d[0] * out_d[1] * out_d[2]) / 1024.0
-                        dma = (w0 * w1 * nb * 128 * 4) / (gu * gv) / 700.0
+                        dma = ((w0 * w1 * xw * 4) / (gu * gv) / 700.0
+                               + 40.0 * (xw // xg) / (gu * gv))
                         cost = (per_vreg + dma) * nvregs
                         if best_cost is None or cost < best_cost:
                             best_cost = cost
                             best = WalkVariant(
                                 ps=ps, po=tuple(po), vb=vb, wb=wb, gu=gu,
                                 gv=gv, w0=w0, w1=w1, hz=hz_c, hy=hy,
-                                kax=kax, d=d, dx_pad=dx_pad, out_d=out_d,
+                                kax=kax, d=d, xg=xg, xw=xw, out_d=out_d,
                                 order=order, mode=mode, slop_lo=slop_lo,
                                 slop_hi=slop_hi, y_lo=y_lo)
     return best
@@ -271,7 +303,11 @@ def _make_walk_kernel(v: WalkVariant, cval: float):
     hz, hy = v.hz, v.hy
     vb, wb = v.vb, v.wb
     gu, gv = v.gu, v.gv
-    nb = v.nb
+    nbw = v.nbw
+    xg, xw = v.xg, v.xw
+    dyn_x = v.dyn_x
+    ncopies = v.ncopies
+    nbk = v.nbk
     taps = v.taps
     dxs = v.dxs
     order = v.order
@@ -317,7 +353,8 @@ def _make_walk_kernel(v: WalkVariant, cval: float):
         def origins(ubt, vbt, wbt):
             """Window origin: extremes of (zorg, yb) over the macro's walks;
             affine in each macro coordinate and in the walk plane, so the
-            corners bound them."""
+            corners bound them.  The x origin is the macro's min x corner,
+            xg-granular."""
             o0 = None
             o1 = None
             for cu in (0.0, float(8 * (gu - 1))):
@@ -329,13 +366,27 @@ def _make_walk_kernel(v: WalkVariant, cval: float):
                         o1 = yb if o1 is None else jnp.minimum(o1, yb)
             o0 = jnp.clip(o0, 0, d0 - w0)
             o1 = jnp.clip(o1, 0, d1 - w1)
-            return o0, o1
+            if not dyn_x:
+                return o0, o1, jnp.int32(0)
+            xlo = (a[2, 0] * ubt + a[2, 1] * vbt + a[2, 2] * wbt + a[2, 3]
+                   + jnp.minimum(a[2, 0] * (8.0 * gu - 1.0), 0.0)
+                   + jnp.minimum(a[2, 1] * (vb * gv - 1.0), 0.0)
+                   + jnp.minimum(a[2, 2] * (wb - 1.0), 0.0))
+            margin = v.dxs[0] - 2   # lowest gathered slot, floor + f32 skew
+            xlo_i = jnp.floor(xlo).astype(jnp.int32) + jnp.int32(margin)
+            tx = jnp.clip(xlo_i, 0, d2 - 1) // xg
+            tmax = (d2 - 1) // xg
+            return o0, o1, jnp.clip(tx, 0, tmax)
 
-        def start_window_dma(slot, oo0, oo1):
-            for b in range(nb):
-                pltpu.make_async_copy(
-                    vol_hbm.at[pl.ds(oo0, w0), pl.ds(oo1, w1), b],
-                    win_ref.at[slot, b], sem.at[slot, b]).start()
+        def start_window_dma(slot, oo0, oo1, tt):
+            if dyn_x:
+                ci, b0 = tt % ncopies, tt // ncopies
+            else:
+                ci, b0 = jnp.int32(0), jnp.int32(0)
+            for j in range(nbw):
+                src = vol_hbm.at[ci, pl.ds(oo0, w0), pl.ds(oo1, w1), b0 + j]
+                pltpu.make_async_copy(src, win_ref.at[slot, j],
+                                      sem.at[slot, j]).start()
 
         step = (ui * nv + vi) * nw + wi
         total = nu * nv * nw
@@ -353,11 +404,11 @@ def _make_walk_kernel(v: WalkVariant, cval: float):
         ubt = (ui * (8 * gu)).astype(jnp.float32)
         vbt = (vi * (vb * gv)).astype(jnp.float32)
         wbt = (wi * wb).astype(jnp.float32)
-        o0, o1 = origins(ubt, vbt, wbt)
+        o0, o1, tx = origins(ubt, vbt, wbt)
 
         @pl.when(step == 0)
         def _():
-            start_window_dma(0, o0, o1)
+            start_window_dma(0, o0, o1, tx)
             # slots 1..depth-2 prefetch here; slot depth-1 comes from the
             # generic start below (starting it here too would double-start)
             for j in range(1, depth - 1):
@@ -374,10 +425,14 @@ def _make_walk_kernel(v: WalkVariant, cval: float):
             bb = step_bases(t)
             start_window_dma(jax.lax.rem(t, depth), *origins(*bb))
 
-        for b in range(nb):
-            pltpu.make_async_copy(
-                vol_hbm.at[pl.ds(o0, w0), pl.ds(o1, w1), b],
-                win_ref.at[slot, b], sem.at[slot, b]).wait()
+        if dyn_x:
+            ci_w, b0_w = tx % ncopies, tx // ncopies
+        else:
+            ci_w, b0_w = jnp.int32(0), jnp.int32(0)
+        for j in range(nbw):
+            src = vol_hbm.at[ci_w, pl.ds(o0, w0), pl.ds(o1, w1), b0_w + j]
+            pltpu.make_async_copy(src, win_ref.at[slot, j],
+                                  sem.at[slot, j]).wait()
 
         s_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         l_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
@@ -437,13 +492,19 @@ def _make_walk_kernel(v: WalkVariant, cval: float):
             xparts = {}
             for dx in dxs:
                 idx = jnp.clip(xb + dx, 0, d2 - 1)
-                xparts[dx] = (idx >> 7, idx & 127)
+                if nbw == 1:
+                    # single gather block at a (possibly dynamic) x origin;
+                    # stray (masked-out) elements clip into range
+                    rel = jnp.clip(idx - tx * xg, 0, 127)
+                    xparts[dx] = (None, rel)
+                else:
+                    xparts[dx] = (idx >> 7, idx & 127)
             # hoisted per-block lane masks for the multi-block blend
             bmask = {}
-            if nb > 1:
+            if nbw > 1:
                 for dx in dxs:
                     blk = xparts[dx][0]
-                    bmask[dx] = [blk == b for b in range(1, nb)]
+                    bmask[dx] = [blk == b for b in range(1, nbw)]
             wfold = {}
             for dx in dxs:
                 acc = jnp.zeros((8, 128), jnp.float32)
@@ -501,11 +562,11 @@ def _make_walk_kernel(v: WalkVariant, cval: float):
                 for c in range(ycand):
                     rows = [win_ref[slot, b, zk - o0,
                                     pl.ds(yb_k - o1 + c * 8, 8), :]
-                            for b in range(nb)]
+                            for b in range(nbw)]
                     for dx in dxs:
                         _, within = xparts[dx]
                         g_acc = jnp.take_along_axis(rows[0], within, axis=1)
-                        for b in range(1, nb):
+                        for b in range(1, nbw):
                             gat = jnp.take_along_axis(rows[b], within,
                                                       axis=1)
                             g_acc = jnp.where(bmask[dx][b - 1], gat, g_acc)
@@ -532,8 +593,18 @@ def _make_walk_kernel(v: WalkVariant, cval: float):
                     val = term if val is None else val + term
                 return acc + wplane * val
 
-            out = jax.lax.fori_loop(0, hz, plane_step,
+            # 2x unrolled walk: overlaps one plane's scalar address chain
+            # (yb -> clip -> slice) with the other's vector work
+            unroll = hz  # fully static walk
+            def plane_pair(k2, acc):
+                for uu in range(unroll):
+                    acc = plane_step(k2 * unroll + uu, acc)
+                return acc
+
+            out = jax.lax.fori_loop(0, hz // unroll, plane_pair,
                                     jnp.zeros((8, 128), jnp.float32))
+            for kk in range(hz - hz % unroll, hz):
+                out = plane_step(kk, out)
 
             if constant:
                 inside = ((zf >= 0) & (zf <= d0 - 1) & (yf >= 0)
@@ -561,9 +632,14 @@ def affine_sample_pallas_walk(volume, matrix, v: WalkVariant,
 
     volume = jnp.asarray(volume, jnp.float32)
     vol_p = jnp.transpose(volume, v.ps)
-    if v.dx_pad > v.d[2]:
-        vol_p = jnp.pad(vol_p, ((0, 0), (0, 0), (0, v.dx_pad - v.d[2])))
-    vol_p = vol_p.reshape(v.d[0], v.d[1], v.nb, 128)
+    # x-shifted copies realize a 32-granular dynamic window origin while
+    # keeping every HBM block 128-tiled (one copy when the origin is static)
+    x_pad = v.nbk * 128 + (v.ncopies - 1) * v.xg
+    if x_pad > v.d[2]:
+        vol_p = jnp.pad(vol_p, ((0, 0), (0, 0), (0, x_pad - v.d[2])))
+    vol_s = jnp.stack([vol_p[..., c * v.xg: c * v.xg + v.nbk * 128]
+                       for c in range(v.ncopies)])
+    vol_s = vol_s.reshape(v.ncopies, v.d[0], v.d[1], v.nbk, 128)
 
     m = jnp.asarray(matrix, jnp.float32)
     rows = jnp.stack([m[v.ps[k]] for k in range(3)])
@@ -592,10 +668,10 @@ def affine_sample_pallas_walk(volume, matrix, v: WalkVariant,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
             (V_pad // v.vb, W_pad // v.wb, U_pad, 128), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((2, v.nb, v.w0, v.w1, 128), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2, v.nb))],
+        scratch_shapes=[pltpu.VMEM((2, v.nbw, v.w0, v.w1, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2, v.nbw))],
         interpret=interpret,
-    )(cols, vol_p)
+    )(cols, vol_s)
 
     # un-block: (V/vb, W/wb, U, vb, wb) -> (U, V, W) (XLA relayout)
     out = out_b.reshape(V_pad // v.vb, W_pad // v.wb, U_pad, v.vb, v.wb)
