@@ -26,8 +26,22 @@ import jax
 # suite runs hermetically on the 8 virtual devices.
 jax.config.update("jax_platforms", "cpu")
 
-# persistent compile cache: the suite recompiles many gather graphs otherwise
-jax.config.update("jax_compilation_cache_dir", "/tmp/voltools_tpu_jax_cache")
+# persistent compile cache: the suite recompiles many gather graphs
+# otherwise.  The dir is keyed by the host's CPU feature set: XLA:CPU loads
+# AOT results compiled for a *different* microarchitecture (it only warns),
+# which produced a real 1-ulp-class miscomputation when a cache written on
+# another machine was reused here.
+import hashlib
+import platform
+
+try:
+    with open("/proc/cpuinfo") as f:
+        _cpu = next((ln for ln in f if ln.startswith("flags")), platform.machine())
+except OSError:
+    _cpu = platform.machine()
+_cpu_tag = hashlib.sha1(_cpu.encode()).hexdigest()[:12]
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/voltools_tpu_jax_cache_{_cpu_tag}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

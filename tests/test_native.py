@@ -60,7 +60,9 @@ def test_native_output_buffer(small_volume):
     buf = np.empty_like(small_volume)
     ret = vt.affine(small_volume, m, device="cpu", cpu_backend="native",
                     output=buf)
-    assert ret is None
+    # CPU paths return the filled output array (reference transforms.py:159-
+    # 162 parity); only device paths return None
+    assert ret is buf
     np.testing.assert_allclose(
         buf, vt.affine(small_volume, m, device="cpu"), atol=3e-5)
 

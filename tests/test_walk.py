@@ -1,0 +1,138 @@
+"""Plane-walk kernel tests (interpreter mode — no TPU needed).
+
+The walk kernel covers the general-rotation regime the select-tree kernel
+rejects (reference workload: 100 random 'sxyz' rotations per size,
+``/root/reference/tests/benchmark.py:52``).  It must agree with the XLA
+reference implementation for arbitrary full-3D rotations, and the planner
+must tier it between the unrolled select-tree kernel and the XLA fallback.
+
+Interpret-mode runs are kept few and small: XLA:CPU takes O(10s) to compile
+each simulated kernel (the real-TPU compiled path is exercised by
+``benchmarks/tpu_parity_smoke.py`` on hardware).
+
+Comparisons mask voxels whose source coordinate sits within ~1e-4 of an
+integer: XLA:CPU sometimes rematerializes a coordinate chain into several
+fusions with different FMA contraction, so two copies of the same f32 value
+can disagree by 1 ulp and flip a floor() inconsistently.  The kernel's math
+was verified exact at such a knife-edge voxel by a full f32 replication of
+its band/gather mechanics in numpy; the divergence is an artifact of the
+simulated (interpret) executable only.
+"""
+
+import numpy as np
+import pytest
+
+from voltools_tpu.kernels.pallas_affine import Variant, choose_variant
+from voltools_tpu.kernels.pallas_walk import (
+    WalkVariant,
+    affine_sample_pallas_walk,
+    choose_walk_variant,
+    prepare_walk_volume,
+    walk_sample_prepared,
+    walk_variant_covers,
+)
+from voltools_tpu.kernels.planner import choose_plan, plan_covers
+from voltools_tpu.ops.sampling import affine_sample
+from voltools_tpu.utils import transform_matrix
+
+
+@pytest.fixture(scope="module")
+def volume():
+    rng = np.random.default_rng(5)
+    return rng.random((40, 48, 56)).astype(np.float32)
+
+
+def random_rotation(seed, shape):
+    rng = np.random.default_rng(seed)
+    ang = rng.uniform(-180, 180, 3)
+    return transform_matrix(rotation=tuple(ang), rotation_order="sxyz",
+                            center=tuple(s / 2 for s in shape))
+
+
+def knife_edge_mask(m, shape, tol=1e-4):
+    """True where any source coordinate is within ``tol`` of an integer
+    (where interpret-mode f32 rematerialization can flip floor())."""
+    idx = np.indices(shape, dtype=np.float64).reshape(3, -1)
+    src = (np.asarray(m)[:3, :3] @ idx + np.asarray(m)[:3, 3:4])
+    near = np.abs(src - np.round(src)) < tol
+    return near.any(axis=0).reshape(shape)
+
+
+def assert_close_off_edges(got, want, m, atol=5e-5):
+    err = np.abs(got - want)
+    err = np.where(knife_edge_mask(m, got.shape), 0.0, err)
+    assert err.max() <= atol, f"max err {err.max():.2e} off knife edges"
+
+
+@pytest.mark.parametrize("interpolation", ["linear", "bspline"])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_walk_matches_xla_random_rotations(volume, interpolation, seed):
+    m = random_rotation(seed, volume.shape)
+    v = choose_walk_variant(m, volume.shape, interpolation, "constant")
+    assert v is not None, "walk chooser must accept arbitrary rotations here"
+    expected = np.asarray(affine_sample(volume, m, interpolation, "constant",
+                                        prefiltered=True))
+    got = np.asarray(affine_sample_pallas_walk(volume, m, v, 0.0,
+                                               interpret=True))
+    assert_close_off_edges(got, expected, m)
+
+
+def test_walk_border_mode(volume):
+    m = random_rotation(2, volume.shape)
+    v = choose_walk_variant(m, volume.shape, "linear", "border")
+    assert v is not None
+    expected = np.asarray(affine_sample(volume, m, "linear", "border",
+                                        prefiltered=True))
+    got = np.asarray(affine_sample_pallas_walk(volume, m, v, 0.0,
+                                               interpret=True))
+    assert_close_off_edges(got, expected, m)
+
+
+def test_walk_prepared_split_nonzero_cval(volume):
+    """The prepare/sample split must agree with the XLA oracle, including a
+    non-default cval (one compile covers both properties)."""
+    m = random_rotation(4, volume.shape)
+    v = choose_walk_variant(m, volume.shape, "linear", "constant")
+    assert v is not None
+    prep = prepare_walk_volume(volume, v)
+    got = np.asarray(walk_sample_prepared(prep, m, v, 5.0, interpret=True))
+    expected = np.asarray(affine_sample(volume, m, "linear", "constant",
+                                        cval=5.0, prefiltered=True))
+    assert_close_off_edges(got, expected, m)
+
+
+def test_walk_covers_reuses_envelope(volume):
+    """A batch envelope variant must cover each member matrix."""
+    ms = np.stack([random_rotation(10 + i, volume.shape) for i in range(4)])
+    v = choose_walk_variant(ms, volume.shape, "linear", "constant")
+    assert v is not None
+    for m in ms:
+        assert walk_variant_covers(v, m, volume.shape, "linear", "constant")
+    # a different interpolation or shape must not be covered
+    assert not walk_variant_covers(v, ms[0], volume.shape, "bspline",
+                                   "constant")
+    assert not walk_variant_covers(v, ms[0], (64, 64, 64), "linear",
+                                   "constant")
+
+
+def test_planner_tiers(volume):
+    # axis-dominant -> unrolled select-tree kernel
+    m_axis = transform_matrix(rotation=(0, 60, 0), rotation_order="sxyz",
+                              center=tuple(s / 2 for s in volume.shape))
+    plan = choose_plan(m_axis, volume.shape, "linear")
+    assert isinstance(plan, Variant) and plan.unroll
+
+    # fully-3D rotation at a size where the select-tree window explodes ->
+    # the plane-walk kernel
+    shape = (160, 160, 160)
+    m_gen = random_rotation(20, shape)
+    tree = choose_variant(m_gen, shape, "linear")
+    assert tree is None or not tree.unroll
+    plan = choose_plan(m_gen, shape, "linear")
+    assert isinstance(plan, WalkVariant)
+    assert plan_covers(plan, m_gen, shape, "linear")
+
+    # tiny volumes stay on the select-tree kernel (walk bands don't fit)
+    m_tiny = random_rotation(21, (5, 5, 5))
+    plan = choose_plan(m_tiny, (5, 5, 5), "linear")
+    assert plan is None or isinstance(plan, Variant)

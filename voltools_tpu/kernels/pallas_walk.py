@@ -43,6 +43,7 @@ Reference behaviour being reproduced: the transform kernel of
 
 from __future__ import annotations
 
+import functools
 import itertools
 import math
 from dataclasses import dataclass
@@ -59,6 +60,23 @@ _SLOP_LIMIT = 6.0      # |x| drift across the 8 sublanes (dx slots cover it)
 _VMEM_BUDGET = 11 << 20
 _PACKINGS = ((1, 128), (2, 64), (4, 32), (8, 16))
 _MACROS = ((1, 8), (2, 4), (1, 4), (2, 2), (4, 2))
+
+# Parameter quantization ladders.  A compiled kernel depends on the variant's
+# geometric parameters but NOT on the axis permutations (ps/po only permute
+# host-side data movement), so rounding parameters up to a coarse ladder
+# makes nearby matrices -- e.g. consecutive random rotations in a sweep --
+# share one Mosaic binary instead of recompiling per angle.
+_HZ_STEP = 4
+_W_STEP = 8
+_YLO_STEP = 4
+_SLOP_LADDER = (0, 1, 2, 3, 4, 6)
+
+
+def _ladder(x, ladder=_SLOP_LADDER):
+    for v in ladder:
+        if x <= v:
+            return v
+    return x
 
 
 @dataclass(frozen=True)
@@ -196,14 +214,19 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
                     geos = [_geometry(a, order, vb, wb, kax) for a in aas]
                     if any(g is None for g in geos):
                         continue
-                    hz = max(g[0] for g in geos)
+                    hz_raw = max(g[0] for g in geos)
                     y_lo = min(g[2] for g in geos)
                     y_hi = max(g[2] + g[1] - 1 for g in geos)
+                    # quantize: hz to _HZ_STEP, the band start down to
+                    # _YLO_STEP, slop to the ladder -- nearby matrices then
+                    # produce identical kernel parameters (see ladder note)
+                    hz = -_HZ_STEP * (-hz_raw // _HZ_STEP)
+                    y_lo = (y_lo // _YLO_STEP) * _YLO_STEP
                     # whole 8-row groups: a partial group would read past
                     # the window (Mosaic clamps the start, shifting rows)
                     hy = (y_hi - y_lo + 8) // 8 * 8
-                    slop_lo = max(g[3][0] for g in geos)
-                    slop_hi = max(g[3][1] for g in geos)
+                    slop_lo = _ladder(max(g[3][0] for g in geos))
+                    slop_hi = _ladder(max(g[3][1] for g in geos))
                     kap = max(abs(g[4]) for g in geos)
                     if hz > _MAX_HZ or hy > _MAX_HY:
                         continue
@@ -217,16 +240,20 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
                     ycand = (hy + 7) // 8
                     for gu, gv in _MACROS:
                         E = (8.0 * gu - 1.0, vb * gv - 1.0, wb - 1.0)
-                        w0 = min(int(math.ceil(
+                        # the window must hold the quantized walk plus the
+                        # macro's corner spread; quantize to _W_STEP
+                        w0 = (int(math.ceil(
                             sum(aa[0, i] * E[i] for i in range(3))))
-                            + tapspan + 4, d[0])
+                            + tapspan + 4 + (hz - hz_raw))
+                        w0 = min(-_W_STEP * (-max(w0, hz) // _W_STEP), d[0])
                         resmax = np.max(np.abs(np.stack(
                             [[a[1, i] - g[4] * a[0, i] for i in range(3)]
                              for a, g in zip(aas, geos)])), axis=0)
                         zrange = w0 + 1.0
-                        w1 = min(int(math.ceil(
+                        w1 = int(math.ceil(
                             sum(resmax[i] * E[i] for i in range(3))
-                            + kap * zrange)) + 3 + hy, d[1])
+                            + kap * zrange)) + 3 + hy
+                        w1 = min(-_W_STEP * (-w1 // _W_STEP), d[1])
                         if hy > w1:
                             continue
                         # window x: a dynamically-positioned 128-wide window
@@ -289,7 +316,7 @@ def walk_variant_covers(v: WalkVariant, matrix, vol_shape,
     return True
 
 
-def _make_walk_kernel(v: WalkVariant, cval: float):
+def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -317,6 +344,19 @@ def _make_walk_kernel(v: WalkVariant, cval: float):
     wsh = wb.bit_length() - 1   # wb is a power of two
     depth = 2
 
+    if interpret:
+        # XLA:CPU may rematerialize a scalar floor() into several fusions
+        # with different FMA contraction; at knife-edge coordinates the
+        # copies then disagree by 1, desynchronizing a slice offset from the
+        # indices computed against it (observed: one row tap double-counted).
+        # Pinning the value forces a single evaluation.  Mosaic keeps scalars
+        # as single SSA values, so the compiled TPU path needs no barrier.
+        def _pin(x):
+            return jax.lax.optimization_barrier(x)
+    else:
+        def _pin(x):
+            return x
+
     def kernel(mat_ref, vol_hbm, out_ref, win_ref, sem):
         ui = pl.program_id(0)
         vi = pl.program_id(1)
@@ -341,7 +381,7 @@ def _make_walk_kernel(v: WalkVariant, cval: float):
                    + jnp.minimum(a[0, 1] * (vb - 1.0), 0.0)
                    + jnp.minimum(a[0, 2] * (wb - 1.0), 0.0))
             zorg = jnp.floor(zlo).astype(jnp.int32) + zoff
-            return jnp.clip(zorg, 0, d0 - hz), zc
+            return _pin(jnp.clip(zorg, 0, d0 - hz)), zc
 
         def yb_of(ub, vbase, wbase, zk):
             """y-band start the walk will use at plane zk (unclipped)."""
@@ -364,8 +404,8 @@ def _make_walk_kernel(v: WalkVariant, cval: float):
                     for endk in (0, hz - 1):
                         yb = yb_of(ubt + cu, vbt + cv, wbt, zorg_c + endk)
                         o1 = yb if o1 is None else jnp.minimum(o1, yb)
-            o0 = jnp.clip(o0, 0, d0 - w0)
-            o1 = jnp.clip(o1, 0, d1 - w1)
+            o0 = _pin(jnp.clip(o0, 0, d0 - w0))
+            o1 = _pin(jnp.clip(o1, 0, d1 - w1))
             if not dyn_x:
                 return o0, o1, jnp.int32(0)
             xlo = (a[2, 0] * ubt + a[2, 1] * vbt + a[2, 2] * wbt + a[2, 3]
@@ -376,7 +416,7 @@ def _make_walk_kernel(v: WalkVariant, cval: float):
             xlo_i = jnp.floor(xlo).astype(jnp.int32) + jnp.int32(margin)
             tx = jnp.clip(xlo_i, 0, d2 - 1) // xg
             tmax = (d2 - 1) // xg
-            return o0, o1, jnp.clip(tx, 0, tmax)
+            return o0, o1, _pin(jnp.clip(tx, 0, tmax))
 
         def start_window_dma(slot, oo0, oo1, tt):
             if dyn_x:
@@ -452,9 +492,11 @@ def _make_walk_kernel(v: WalkVariant, cval: float):
                 return (a[r, 0] * up + a[r, 1] * vp + a[r, 2] * wp
                         + a[r, 3])
 
-            zf = coord(0)
-            yf = coord(1)
-            xf = coord(2)
+            # pinned: every consumer (floor -> taps, fractional weights,
+            # inside mask) must see ONE evaluation of each coordinate chain
+            zf = _pin(coord(0))
+            yf = _pin(coord(1))
+            xf = _pin(coord(2))
             z0 = jnp.floor(zf).astype(jnp.int32)
             y0f = jnp.floor(yf)
             x0f = jnp.floor(xf)
@@ -476,7 +518,7 @@ def _make_walk_kernel(v: WalkVariant, cval: float):
             # x base per lane (sublane 0), lane-gather decomposition +
             # folded exact x weights (pallas_affine stage-2 scheme)
             xb_row = (a[2, 0] * ub + a[2, 1] * vp + a[2, 2] * wp + a[2, 3])
-            xb = jnp.floor(xb_row).astype(jnp.int32)
+            xb = _pin(jnp.floor(xb_row).astype(jnp.int32))
             dxneed = x0 - xb
 
             def x_tap(t):
@@ -549,7 +591,7 @@ def _make_walk_kernel(v: WalkVariant, cval: float):
             def plane_step(k, acc):
                 zk = zorg + k
                 yb_k = yb_of(ub, vbase, wbt, zk)
-                yb_k = jnp.clip(yb_k, o1, o1 + w1 - hy)
+                yb_k = _pin(jnp.clip(yb_k, o1, o1 + w1 - hy))
 
                 # per-plane z weight: sum of tap weights landing on zk
                 wplane = None
@@ -593,9 +635,11 @@ def _make_walk_kernel(v: WalkVariant, cval: float):
                     val = term if val is None else val + term
                 return acc + wplane * val
 
-            # 2x unrolled walk: overlaps one plane's scalar address chain
-            # (yb -> clip -> slice) with the other's vector work
-            unroll = hz  # fully static walk
+            # fully-unrolled walk: overlaps each plane's scalar address chain
+            # (yb -> clip -> slice) with the others' vector work.  The
+            # interpreter keeps the fori_loop instead (the unrolled trace
+            # takes minutes to compile on CPU, with nothing to overlap).
+            unroll = 1 if interpret else hz
             def plane_pair(k2, acc):
                 for uu in range(unroll):
                     acc = plane_step(k2 * unroll + uu, acc)
@@ -622,60 +666,145 @@ def _make_walk_kernel(v: WalkVariant, cval: float):
     return kernel
 
 
-def affine_sample_pallas_walk(volume, matrix, v: WalkVariant,
-                              cval: float = 0.0, interpret: bool = False):
-    """Run the plane-walk kernel for a pre-chosen variant."""
+def walk_layout_key(v: WalkVariant):
+    """Hashable description of the HBM source layout a variant samples from;
+    variants with equal keys can share one prepared volume (lets resident
+    sweeps cache the transpose/pad/stack across angle steps)."""
+    return (v.ps, v.d, v.xg, v.nbk)
+
+
+@functools.lru_cache(maxsize=64)
+def _preparer(layout_key):
+    """Jitted source-layout builder for a layout key, cached so sweeps and
+    one-shot calls re-trace the transpose/pad/stack once per layout."""
+    import jax
+    import jax.numpy as jnp
+
+    ps, d, xg, nbk = layout_key
+    ncopies = 128 // xg
+
+    def prepare(volume):
+        vol_p = jnp.transpose(jnp.asarray(volume, jnp.float32), ps)
+        x_pad = nbk * 128 + (ncopies - 1) * xg
+        if x_pad > d[2]:
+            vol_p = jnp.pad(vol_p, ((0, 0), (0, 0), (0, x_pad - d[2])))
+        vol_s = jnp.stack([vol_p[..., c * xg: c * xg + nbk * 128]
+                           for c in range(ncopies)])
+        return vol_s.reshape(ncopies, d[0], d[1], nbk, 128)
+
+    return jax.jit(prepare)
+
+
+def prepare_walk_volume(volume, v: WalkVariant):
+    """Transpose/pad/stack the source volume into the kernel's HBM layout.
+
+    x-shifted copies realize a 32-granular dynamic window origin while
+    keeping every HBM block 128-tiled (one copy when the origin is static).
+    """
+    return _preparer(walk_layout_key(v))(volume)
+
+
+def canonical_walk_variant(v: WalkVariant) -> WalkVariant:
+    """The variant with axis permutations erased.  The compiled kernel never
+    reads ``ps``/``po`` (they only permute host-side data movement), so two
+    variants with equal canonical forms share one Mosaic binary -- e.g. all
+    orientations of a random-rotation sweep over a cubic volume."""
+    import dataclasses
+    return dataclasses.replace(v, ps=(0, 1, 2), po=(0, 1, 2))
+
+
+@functools.lru_cache(maxsize=128)
+def _walk_runner(vc: WalkVariant, cval: float, interpret: bool):
+    """Jitted pallas launch for a canonical variant: (vol_s, cols) -> the
+    blocked output layout.  Cached so every variant sharing a canonical form
+    reuses one compiled executable."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    volume = jnp.asarray(volume, jnp.float32)
-    vol_p = jnp.transpose(volume, v.ps)
-    # x-shifted copies realize a 32-granular dynamic window origin while
-    # keeping every HBM block 128-tiled (one copy when the origin is static)
-    x_pad = v.nbk * 128 + (v.ncopies - 1) * v.xg
-    if x_pad > v.d[2]:
-        vol_p = jnp.pad(vol_p, ((0, 0), (0, 0), (0, x_pad - v.d[2])))
-    vol_s = jnp.stack([vol_p[..., c * v.xg: c * v.xg + v.nbk * 128]
-                       for c in range(v.ncopies)])
-    vol_s = vol_s.reshape(v.ncopies, v.d[0], v.d[1], v.nbk, 128)
-
-    m = jnp.asarray(matrix, jnp.float32)
-    rows = jnp.stack([m[v.ps[k]] for k in range(3)])
-    cols = jnp.stack([rows[:, v.po[j]] for j in range(3)] + [rows[:, 3]],
-                     axis=1)
-
+    v = vc
     U, V, W = v.out_d
     U_pad = -(8 * v.gu) * (-U // (8 * v.gu))
     V_pad = -(v.vb * v.gv) * (-V // (v.vb * v.gv))
     W_pad = -v.wb * (-W // v.wb)
     grid = (U_pad // (8 * v.gu), V_pad // (v.vb * v.gv), W_pad // v.wb)
 
-    kernel = _make_walk_kernel(v, cval)
-    out_b = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        # blocked layout (V/vb, W/wb, U, 128): Mosaic requires the block's
-        # trailing two dims to be (8k, 128)-aligned, so U and the lane pack
-        # go last
-        out_specs=pl.BlockSpec((v.gv, 1, 8 * v.gu, 128),
-                               lambda u, vv, w: (vv, w, u, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (V_pad // v.vb, W_pad // v.wb, U_pad, 128), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((2, v.nbw, v.w0, v.w1, 128), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2, v.nbw))],
-        interpret=interpret,
-    )(cols, vol_s)
+    kernel = _make_walk_kernel(v, cval, interpret)
 
-    # un-block: (V/vb, W/wb, U, vb, wb) -> (U, V, W) (XLA relayout)
-    out = out_b.reshape(V_pad // v.vb, W_pad // v.wb, U_pad, v.vb, v.wb)
-    out = jnp.transpose(out, (2, 0, 3, 1, 4)).reshape(U_pad, V_pad, W_pad)
-    out = out[:U, :V, :W]
-    inv = tuple(np.argsort(v.po))
-    return jnp.transpose(out, inv)
+    def run(vol_s, cols):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            # blocked layout (V/vb, W/wb, U, 128): Mosaic requires the
+            # block's trailing two dims to be (8k, 128)-aligned, so U and
+            # the lane pack go last
+            out_specs=pl.BlockSpec((v.gv, 1, 8 * v.gu, 128),
+                                   lambda u, vv, w: (vv, w, u, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (V_pad // v.vb, W_pad // v.wb, U_pad, 128), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((2, v.nbw, v.w0, v.w1, 128),
+                                       jnp.float32),
+                            pltpu.SemaphoreType.DMA((2, v.nbw))],
+            interpret=interpret,
+        )(cols, vol_s)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=128)
+def _unblocker(out_d, vb, wb, gu, gv, po):
+    """Jitted un-blocking: (V/vb, W/wb, U, 128) -> (U, V, W) -> inverse
+    output permutation.  Cheap XLA relayout, cached per shape/permutation."""
+    import jax
+    import jax.numpy as jnp
+
+    U, V, W = out_d
+    U_pad = -(8 * gu) * (-U // (8 * gu))
+    V_pad = -(vb * gv) * (-V // (vb * gv))
+    W_pad = -wb * (-W // wb)
+    inv = tuple(np.argsort(po))
+
+    def unblock(out_b):
+        out = out_b.reshape(V_pad // vb, W_pad // wb, U_pad, vb, wb)
+        out = jnp.transpose(out, (2, 0, 3, 1, 4)).reshape(U_pad, V_pad,
+                                                          W_pad)
+        return jnp.transpose(out[:U, :V, :W], inv)
+
+    return jax.jit(unblock)
+
+
+def permute_matrix(matrix, v: WalkVariant):
+    """(4,4) pull-back matrix -> the kernel's (3,4) permuted form."""
+    import jax.numpy as jnp
+    m = jnp.asarray(matrix, jnp.float32)
+    rows = jnp.stack([m[v.ps[k]] for k in range(3)])
+    return jnp.stack([rows[:, v.po[j]] for j in range(3)] + [rows[:, 3]],
+                     axis=1)
+
+
+def walk_sample_prepared(vol_s, matrix, v: WalkVariant, cval: float = 0.0,
+                         interpret: bool = False):
+    """Run the plane-walk kernel on an already-prepared source layout.
+
+    Composed of independently-cached jitted stages, so calling it eagerly
+    (outside any enclosing jit) reuses one Mosaic binary across every
+    variant with the same canonical form -- an angle sweep compiles the
+    expensive kernel once and only re-traces the cheap data-movement ends.
+    """
+    cols = permute_matrix(matrix, v)
+    out_b = _walk_runner(canonical_walk_variant(v), float(cval),
+                         bool(interpret))(vol_s, cols)
+    return _unblocker(v.out_d, v.vb, v.wb, v.gu, v.gv, v.po)(out_b)
+
+
+def affine_sample_pallas_walk(volume, matrix, v: WalkVariant,
+                              cval: float = 0.0, interpret: bool = False):
+    """Prepare the source layout and run the plane-walk kernel."""
+    return walk_sample_prepared(prepare_walk_volume(volume, v), matrix, v,
+                                cval, interpret)

@@ -133,14 +133,33 @@ def _jitted_affine(interpolation: str, mode: str, cval: float,
 
     del device  # part of the cache key; placement is via device_put on args
 
+    from .kernels.pallas_walk import WalkVariant
+    from .ops.interpolation import needs_prefilter
+
+    if isinstance(variant, WalkVariant):
+        # eager composition of independently-cached jitted stages: the
+        # expensive Mosaic binary is shared by every variant with the same
+        # canonical form, so angle sweeps don't recompile per orientation
+        from .kernels.planner import plan_prepare, plan_sampler
+        from .ops.prefilter import bspline_prefilter
+        pre = (jax.jit(bspline_prefilter)
+               if needs_prefilter(interpolation) else None)
+        sample = plan_sampler(variant, cval)
+
+        def run_walk(volume, matrix):
+            if pre is not None:
+                volume = pre(volume)
+            return sample(plan_prepare(volume, variant), matrix)
+
+        return run_walk
+
     def run(volume, matrix):
         if variant is not None:
-            from .kernels.pallas_affine import affine_sample_pallas_variant
-            from .ops.interpolation import needs_prefilter
+            from .kernels.planner import plan_sample
             if needs_prefilter(interpolation):
                 from .ops.prefilter import bspline_prefilter
                 volume = bspline_prefilter(volume)
-            return affine_sample_pallas_variant(volume, matrix, variant, cval)
+            return plan_sample(volume, matrix, variant, cval)
         from .ops.sampling import affine_sample
         return affine_sample(volume, matrix, interpolation, mode, cval,
                              out_shape=out_shape)
@@ -194,15 +213,15 @@ def select_variant(transform_m, vol_shape, interpolation, mode, device):
                          reason="non-TPU backend")
         return None
     try:
-        from .kernels.pallas_affine import choose_variant, variant_covers
+        from .kernels.planner import choose_plan, plan_covers
         m = np.asarray(transform_m, np.float64)
         with _VARIANT_LOCK:
             for cached in _RECENT_VARIANTS:
-                if variant_covers(cached, m, vol_shape, interpolation, mode):
+                if plan_covers(cached, m, vol_shape, interpolation, mode):
                     _record_dispatch(impl="pallas", variant=cached,
                                      reason="cached variant envelope")
                     return cached
-        variant = choose_variant(m, vol_shape, interpolation, mode)
+        variant = choose_plan(m, vol_shape, interpolation, mode)
         if variant is not None:
             with _VARIANT_LOCK:
                 _RECENT_VARIANTS.append(variant)

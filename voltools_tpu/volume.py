@@ -103,58 +103,82 @@ class StaticVolume:
         self._sampler = jax.jit(_sample)
         self._batch_sampler = jax.jit(jax.vmap(_sample, in_axes=(None, 0)))
         self._variant_samplers = {}
+        self._walk_layouts = {}
         self._variant_lock = threading.Lock()
         # warm the compile so the first .affine() call is launch-only
         self._sampler(self.data, jnp.eye(4, dtype=jnp.float32))
 
+    def _prepared_source(self, plan):
+        """The plan's prepared HBM source layout, cached per layout key so
+        resident sweeps pay the transpose/pad/stack once, not per angle."""
+        import jax
+        from .kernels.planner import plan_layout_key, plan_prepare
+        key = plan_layout_key(plan)
+        if key is None:
+            return self.data
+        prep = self._walk_layouts.get(key)
+        if prep is None:
+            prep = jax.jit(lambda vol: plan_prepare(vol, plan))(self.data)
+            self._walk_layouts[key] = prep
+        return prep
+
     def _device_sampler(self, transform_m):
         """Pick the pallas fast path when the matrix qualifies (the data is
         already prefiltered, so the kernel samples it directly).  An
-        already-compiled variant whose envelope covers the matrix is reused,
+        already-compiled plan whose envelope covers the matrix is reused,
         so angle sweeps don't recompile per step."""
-        from .kernels.pallas_affine import variant_covers
+        from .kernels.planner import plan_covers
         from .transforms import select_variant
         with self._variant_lock:
             for cached in self._variant_samplers:
                 if (not isinstance(cached, tuple)
-                        and variant_covers(cached, transform_m, self.shape,
-                                           self.interpolation, self.mode)):
+                        and plan_covers(cached, transform_m, self.shape,
+                                        self.interpolation, self.mode)):
                     return self._variant_samplers[cached]
-        variant = select_variant(transform_m, self.shape, self.interpolation,
-                                 self.mode, self._jdev)
-        if variant is None:
+        plan = select_variant(transform_m, self.shape, self.interpolation,
+                              self.mode, self._jdev)
+        if plan is None:
             return self._sampler
         with self._variant_lock:
-            if variant not in self._variant_samplers:
-                import jax
-                from .kernels.pallas_affine import affine_sample_pallas_variant
-                cval = self.cval
-                self._variant_samplers[variant] = jax.jit(
-                    lambda vol, m: affine_sample_pallas_variant(vol, m, variant,
-                                                                cval))
-            return self._variant_samplers[variant]
+            if plan not in self._variant_samplers:
+                from .kernels.planner import plan_sampler
+                prep = self._prepared_source(plan)
+                run = plan_sampler(plan, self.cval)
+
+                def sampler(vol, m, _run=run, _prep=prep):
+                    del vol  # the prepared layout stands in for the volume
+                    return _run(_prep, m)
+
+                self._variant_samplers[plan] = sampler
+            return self._variant_samplers[plan]
 
     def _device_batch_sampler(self, transform_ms):
-        """Batched fast path: one envelope variant covering the whole matrix
+        """Batched fast path: one envelope plan covering the whole matrix
         sweep, run as a sequential scan of kernel launches in one program."""
+        from .kernels.planner import plan_sample_prepared
         from .transforms import select_variant
-        variant = select_variant(transform_ms, self.shape, self.interpolation,
-                                 self.mode, self._jdev)
-        if variant is None:
+        plan = select_variant(transform_ms, self.shape, self.interpolation,
+                              self.mode, self._jdev)
+        if plan is None:
             return self._batch_sampler
-        key = ("batch", variant)
+        key = ("batch", plan)
         with self._variant_lock:
             if key not in self._variant_samplers:
                 import jax
-                from .kernels.pallas_affine import affine_sample_pallas_variant
                 cval = self.cval
+                prep = self._prepared_source(plan)
 
-                def run(vol, ms):
+                def run(p, ms):
                     return jax.lax.map(
-                        lambda m: affine_sample_pallas_variant(vol, m, variant,
-                                                               cval), ms)
+                        lambda m: plan_sample_prepared(p, m, plan, cval), ms)
 
-                self._variant_samplers[key] = jax.jit(run)
+                jrun = jax.jit(run)
+
+                def sampler(vol, ms, _run=jrun, _prep=prep):
+                    del vol
+                    return _run(_prep, ms)
+
+                self._variant_samplers[key] = sampler
             return self._variant_samplers[key]
 
     # ------------------------------------------------------------------ core
