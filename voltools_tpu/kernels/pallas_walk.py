@@ -191,8 +191,15 @@ def _geometry(a, order, vb, wb, kax):
 
 
 def choose_walk_variant(matrix, vol_shape, interpolation: str,
-                        mode: str = "constant") -> Optional[WalkVariant]:
+                        mode: str = "constant", known=(),
+                        sticky: float = 1.35) -> Optional[WalkVariant]:
     """Pick the cheapest (axes, packing, macro) assignment for the kernel.
+
+    ``known`` is a collection of already-compiled canonical variants; when
+    one of them covers the matrix under some permutation at a cost within
+    ``sticky`` x the fresh optimum, it wins -- reusing a Mosaic binary beats
+    a ~13 s compile for a marginally tighter config, so sweeps of random
+    orientations converge onto a handful of kernels.
 
     ``matrix`` may be (4,4) or (N,4,4) (envelope over the batch).  Returns
     None when no assignment fits the band/walk limits.
@@ -288,32 +295,132 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
                                 kax=kax, d=d, xg=xg, xw=xw, out_d=out_d,
                                 order=order, mode=mode, slop_lo=slop_lo,
                                 slop_hi=slop_hi, y_lo=y_lo)
+    if known:
+        fitv, fitc = fit_walk_variant(matrix, vol_shape, interpolation,
+                                      mode, known)
+        if fitv is not None and (best is None or fitc <= sticky * best_cost):
+            return fitv
     return best
 
 
 def walk_variant_covers(v: WalkVariant, matrix, vol_shape,
                         interpolation: str, mode: str = "constant") -> bool:
     """True when a compiled variant's envelope covers ``matrix`` (lets
-    sweeps reuse kernels instead of recompiling per angle)."""
+    sweeps reuse kernels instead of recompiling per angle).
+
+    Checks the per-vreg geometry (walk length, band, drift slop) AND the
+    macro-window extents: a variant sized for one matrix could otherwise be
+    reused for a matrix whose macro footprint overflows its windows, and the
+    origin clipping would silently slide the window off the footprint."""
     order = 1 if interpolation == "linear" else 3
     if order != v.order or mode != v.mode:
         return False
     if tuple(vol_shape[v.ps[k]] for k in range(3)) != v.d:
         return False
+    if tuple(vol_shape[v.po[k]] for k in range(3)) != v.out_d:
+        return False
     matrices = np.asarray(matrix, dtype=np.float64)
     if matrices.ndim == 2:
         matrices = matrices[None]
+    tapspan = 1 if order == 1 else 3
+    E = (8.0 * v.gu - 1.0, v.vb * v.gv - 1.0, v.wb - 1.0)
+    d0, d1 = v.d[0], v.d[1]
     for m in matrices:
         a = _adjusted_matrix(m, v.ps, v.po)
         g = _geometry(a, order, v.vb, v.wb, v.kax)
         if g is None:
             return False
-        hz, hy_raw, y_lo, (sl, sh), _ = g
+        hz, hy_raw, y_lo, (sl, sh), kappa = g
         if (hz > v.hz or y_lo < v.y_lo
                 or y_lo + hy_raw - 1 > v.y_lo + v.hy - 1
                 or sl > v.slop_lo or sh > v.slop_hi):
             return False
+        aa = np.abs(a)
+        need_w0 = (int(math.ceil(sum(aa[0, i] * E[i] for i in range(3))))
+                   + tapspan + 4 + (v.hz - hz))
+        if min(need_w0, d0) > v.w0:
+            return False
+        res = [abs(a[1, i] - kappa * a[0, i]) for i in range(3)]
+        need_w1 = (int(math.ceil(sum(res[i] * E[i] for i in range(3))
+                                 + abs(kappa) * (v.w0 + 1.0))) + 3 + v.hy)
+        if min(need_w1, d1) > v.w1:
+            return False
+        if v.dyn_x:
+            span_x = (sum(aa[2, i] * E[i] for i in range(3))
+                      + tapspan + v.slop_lo + v.slop_hi + 4)
+            if span_x > 128 - 32 - 2:
+                return False
     return True
+
+
+def _variant_cost(v: WalkVariant) -> float:
+    """The chooser's ops-calibrated cost, recomputed from a variant's own
+    parameters (used to compare an already-compiled config against the
+    fresh per-matrix optimum)."""
+    ntaps = 2 if v.order == 1 else 4
+    ndx = len(v.dxs)
+    ycand = v.ycand
+    nbw = v.nbw
+    per_plane = (ycand * nbw * (1 + ndx)
+                 + (nbw - 1) * ycand * ndx * 2
+                 + ntaps * ycand * (2 * ndx + 3)
+                 + 3 * ntaps + 10)
+    fixed = 170 + 6 * ndx * ntaps
+    per_vreg = v.hz * per_plane + fixed
+    nvregs = (v.out_d[0] * v.out_d[1] * v.out_d[2]) / 1024.0
+    dma = ((v.w0 * v.w1 * v.xw * 4) / (v.gu * v.gv) / 700.0
+           + 40.0 * (v.xw // v.xg) / (v.gu * v.gv))
+    return (per_vreg + dma) * nvregs
+
+
+def fit_walk_variant(matrix, vol_shape, interpolation: str, mode: str,
+                     known):
+    """Cheapest already-compiled canonical config that covers ``matrix``
+    under SOME axis permutation, as (variant, cost) or (None, None).
+
+    The Mosaic binary depends only on a variant's canonical form, so fitting
+    a known canonical under fresh permutations costs no compile at all."""
+    import dataclasses
+    best = None
+    best_cost = None
+    order = 1 if interpolation == "linear" else 3
+    matrices = np.asarray(matrix, dtype=np.float64)
+    if matrices.ndim == 2:
+        matrices = matrices[None]
+    for K in known:
+        if K.order != order or K.mode != mode:
+            continue
+        cost = _variant_cost(K)
+        if best_cost is not None and cost >= best_cost:
+            continue
+        found = False
+        for ps in itertools.permutations((0, 1, 2)):
+            if tuple(vol_shape[ps[k]] for k in range(3)) != K.d:
+                continue
+            for po in itertools.permutations((0, 1, 2)):
+                if tuple(vol_shape[po[k]] for k in range(3)) != K.out_d:
+                    continue
+                # kappa / y_lo are runtime payload, so the fit may pick the
+                # band slope that makes this matrix's band fit K's height
+                for kax in (-1, 0, 1, 2):
+                    geos = [_geometry(_adjusted_matrix(m, ps, po), order,
+                                      K.vb, K.wb, kax) for m in matrices]
+                    if any(g is None for g in geos):
+                        continue
+                    y_lo_m = min(g[2] for g in geos)
+                    cand = dataclasses.replace(K, ps=tuple(ps),
+                                               po=tuple(po), kax=kax,
+                                               y_lo=y_lo_m)
+                    if walk_variant_covers(cand, matrix, vol_shape,
+                                           interpolation, mode):
+                        best, best_cost = cand, cost
+                        found = True
+                        break
+                if found:
+                    break
+            if found:
+                break
+    return best, best_cost
 
 
 def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False):
@@ -364,12 +471,14 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False):
         nu = pl.num_programs(0)
         nv = pl.num_programs(1)
         nw = pl.num_programs(2)
-        a = mat_ref  # (3,4) SMEM, permuted
+        a = mat_ref  # (4,4) SMEM: permuted (3,4) matrix + payload row
 
-        if v.kax < 0:
-            kappa = jnp.float32(0.0)
-        else:
-            kappa = a[1, v.kax] / a[0, v.kax]
+        # runtime band parameters (row 3 of the payload): the binary depends
+        # only on the band HEIGHT (hy), so its slope (kappa) and offset
+        # (y_lo) ride in SMEM and sweeps share one compiled kernel across
+        # band placements
+        kappa = a[3, 0]
+        y_lo_i = a[3, 1].astype(jnp.int32)
 
         # walk/window z start: lowest tap is floor(zf) + taps[0], minus one
         # slot of floor rounding and one of f32 skew
@@ -388,7 +497,7 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False):
             zc = a[0, 0] * ub + a[0, 1] * vbase + a[0, 2] * wbase + a[0, 3]
             yc = a[1, 0] * ub + a[1, 1] * vbase + a[1, 2] * wbase + a[1, 3]
             y_line = yc + kappa * (zk.astype(jnp.float32) - zc)
-            return jnp.floor(y_line).astype(jnp.int32) + jnp.int32(v.y_lo)
+            return jnp.floor(y_line).astype(jnp.int32) + y_lo_i
 
         def origins(ubt, vbt, wbt):
             """Window origin: extremes of (zorg, yb) over the macro's walks;
@@ -705,12 +814,23 @@ def prepare_walk_volume(volume, v: WalkVariant):
 
 
 def canonical_walk_variant(v: WalkVariant) -> WalkVariant:
-    """The variant with axis permutations erased.  The compiled kernel never
-    reads ``ps``/``po`` (they only permute host-side data movement), so two
-    variants with equal canonical forms share one Mosaic binary -- e.g. all
-    orientations of a random-rotation sweep over a cubic volume."""
+    """The variant with every non-structural field erased.  The compiled
+    kernel never reads ``ps``/``po`` (they only permute host-side data
+    movement) nor ``kax``/``y_lo`` (runtime SMEM payload), so variants with
+    equal canonical forms share one Mosaic binary -- e.g. all orientations
+    of a random-rotation sweep over a cubic volume."""
     import dataclasses
-    return dataclasses.replace(v, ps=(0, 1, 2), po=(0, 1, 2))
+    return dataclasses.replace(v, ps=(0, 1, 2), po=(0, 1, 2), kax=-1,
+                               y_lo=0)
+
+
+# canonical forms whose Mosaic binaries exist (newest last); the chooser's
+# sticky policy prefers these over fresh compiles
+_KNOWN_CANONICALS: list = []
+
+
+def known_canonicals():
+    return tuple(_KNOWN_CANONICALS)
 
 
 @functools.lru_cache(maxsize=128)
@@ -718,6 +838,9 @@ def _walk_runner(vc: WalkVariant, cval: float, interpret: bool):
     """Jitted pallas launch for a canonical variant: (vol_s, cols) -> the
     blocked output layout.  Cached so every variant sharing a canonical form
     reuses one compiled executable."""
+    if vc not in _KNOWN_CANONICALS:
+        _KNOWN_CANONICALS.append(vc)
+        del _KNOWN_CANONICALS[:-64]
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -780,12 +903,21 @@ def _unblocker(out_d, vb, wb, gu, gv, po):
 
 
 def permute_matrix(matrix, v: WalkVariant):
-    """(4,4) pull-back matrix -> the kernel's (3,4) permuted form."""
+    """(4,4) pull-back matrix -> the kernel's (4,4) SMEM payload: the
+    permuted (3,4) matrix plus a row carrying the runtime band parameters
+    ``[kappa, y_lo, 0, 0]`` (the binary only bakes the band height)."""
     import jax.numpy as jnp
     m = jnp.asarray(matrix, jnp.float32)
     rows = jnp.stack([m[v.ps[k]] for k in range(3)])
-    return jnp.stack([rows[:, v.po[j]] for j in range(3)] + [rows[:, 3]],
+    cols = jnp.stack([rows[:, v.po[j]] for j in range(3)] + [rows[:, 3]],
                      axis=1)
+    if v.kax < 0:
+        kappa = jnp.float32(0.0)
+    else:
+        kappa = cols[1, v.kax] / cols[0, v.kax]
+    payload = jnp.stack([kappa, jnp.float32(v.y_lo), jnp.float32(0.0),
+                         jnp.float32(0.0)])
+    return jnp.concatenate([cols, payload[None]], axis=0)
 
 
 def walk_sample_prepared(vol_s, matrix, v: WalkVariant, cval: float = 0.0,

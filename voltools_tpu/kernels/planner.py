@@ -25,20 +25,27 @@ from typing import Optional, Union
 from .pallas_affine import (Variant, affine_sample_pallas_variant,
                             choose_variant, variant_covers)
 from .pallas_walk import (WalkVariant, affine_sample_pallas_walk,
-                          choose_walk_variant, prepare_walk_volume,
-                          walk_layout_key, walk_sample_prepared,
-                          walk_variant_covers)
+                          choose_walk_variant, known_canonicals,
+                          prepare_walk_volume, walk_layout_key,
+                          walk_sample_prepared, walk_variant_covers)
 
 Plan = Union[Variant, WalkVariant]
 
 
 def choose_plan(matrix, vol_shape, interpolation: str,
                 mode: str = "constant") -> Optional[Plan]:
-    """Pick a kernel plan for ``matrix`` ((4,4) or (N,4,4) envelope)."""
+    """Pick a kernel plan for ``matrix`` ((4,4) or (N,4,4) envelope).
+
+    The walk chooser is seeded with the already-compiled canonical forms so
+    orientation sweeps stick to existing Mosaic binaries when one is within
+    a modest cost factor of the per-matrix optimum."""
     variant = choose_variant(matrix, vol_shape, interpolation, mode)
     if variant is not None and variant.unroll:
         return variant
-    walk = choose_walk_variant(matrix, vol_shape, interpolation, mode)
+    # sticky=3: a Mosaic compile costs ~13 s while a 2x-cost kernel costs
+    # ~15 ms extra per call -- reuse wins for any sweep under ~900 calls
+    walk = choose_walk_variant(matrix, vol_shape, interpolation, mode,
+                               known=known_canonicals(), sticky=3.0)
     if walk is not None:
         return walk
     return variant
