@@ -1,20 +1,24 @@
-"""Headline benchmark: resident-volume rotation of a 250^3 float32 volume.
+"""Headline benchmark: random full-3D rotations of a resident 250^3 volume.
 
-The metric mirrors BASELINE.json's StaticVolume configuration: a resident
-(device-side) 250^3 volume rotated about one axis with per-call traffic
-limited to the 4x4 matrix and the output kept on device — the reference's
-``static_vol_out`` column (8.768 ms per rotation on a GTX 1050 Ti at 250^3
-linear, BASELINE.md).
+This is the reference's own benchmark workload: rotations drawn uniformly
+from [-180, 180)^3 in 'sxyz' order about center=size/2 (reference
+``tests/benchmark.py:52-54``), applied to a device-resident volume with the
+output kept on device -- the ``static_vol_out`` column.  Baseline numbers
+(GTX 1050 Ti, mean of 100 random rotations at 250^3 linear):
+``static_vol_out`` 8.768 ms, ``cp_transform_out`` 12.710 ms (BASELINE.md).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": <ms per rotation>, "unit": "ms", "vs_baseline": <speedup x>}
+  {"metric": ..., "value": <mean ms per rotation>, "unit": "ms",
+   "vs_baseline": <speedup x vs static_vol_out>}
 
 Timing method: this environment reaches the TPU through an RPC tunnel where
-``block_until_ready`` returns before execution finishes and a host round-trip
-costs ~25 ms, so per-call wall timing is meaningless.  We time N dependent
-kernel applications chained inside one jitted loop (forcing a scalar to host
-at the end) and subtract the 1-iteration run: the slope is the true
-per-transform device time.
+``block_until_ready`` returns before execution finishes and every host
+round-trip costs ~25-35 ms, so per-call wall timing is meaningless.  Per
+rotation we chain N dependent kernel applications inside one jitted loop
+(the output feeds a denormal-scale perturbation of the matrix, forcing the
+dependency) and subtract the 1-iteration run: the slope is the true
+per-transform device time.  Kernel compilation is excluded, as in the
+baseline (its kernel was compiled once before its timed loop).
 """
 
 import functools
@@ -24,7 +28,11 @@ import time
 
 import numpy as np
 
-BASELINE_MS = 8.768  # reference static_vol_out, 250^3 linear (BASELINE.md)
+BASELINE_STATIC_MS = 8.768   # static_vol_out, 250^3 linear (BASELINE.md)
+BASELINE_CP_MS = 12.710      # cp_transform_out, 250^3 linear (BASELINE.md)
+
+N_ROT = 8       # rotations measured (each = one compiled chained program)
+ITERS = 8       # chained applications per program
 
 
 def main():
@@ -32,60 +40,74 @@ def main():
     import jax.numpy as jnp
 
     sys.path.insert(0, "/root/repo")
-    from voltools_tpu.kernels.pallas_affine import (
-        affine_sample_pallas_variant,
-        choose_variant,
-    )
-    from voltools_tpu.ops.sampling import affine_sample
-    from voltools_tpu.utils import transform_matrix
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/voltools_tpu_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from voltools_tpu.kernels.planner import (plan_prepare,
+                                              plan_sample_prepared)
+    from voltools_tpu.transforms import select_variant
+    from voltools_tpu.utils import resolve_device, transform_matrix
 
     size = 250
     rng = np.random.default_rng(0)
     vol = jnp.asarray(rng.random((size,) * 3, dtype=np.float64)
                       .astype(np.float32))
-    center = ((size - 1) / 2,) * 3
-    m = transform_matrix(rotation=(60.0, 0.0, 0.0), rotation_order="rzxz",
-                         center=center)
-    mj = jnp.asarray(m.astype(np.float32))
+    center = (size / 2,) * 3   # reference benchmark.py:53
+    device = resolve_device("jax")
 
-    variant = choose_variant(m, vol.shape, "linear")
-    if variant is not None:
-        impl = "pallas"
-        def sample(v, mat):
-            return affine_sample_pallas_variant(v, mat, variant, 0.0)
-    else:  # pragma: no cover - defensive fallback
-        impl = "xla"
-        def sample(v, mat):
-            return affine_sample(v, mat, "linear")
+    def measure(m, interpolation):
+        plan = select_variant(m, vol.shape, interpolation, "constant",
+                              device)
+        if plan is None:   # pragma: no cover - defensive
+            return None, "xla"
+        prep = plan_prepare(vol, plan)
 
-    @functools.partial(jax.jit, static_argnames="n")
-    def chained(n, v, mat):
-        def body(_, carry):
-            vv, mm = carry
-            return sample(vv, mm), mm
-        out, _ = jax.lax.fori_loop(0, n, body, (v, mat))
-        return out.ravel()[0]
+        @functools.partial(jax.jit, static_argnames="n")
+        def chained(n, p, mat):
+            def body(_, carry):
+                mm, acc = carry
+                out = plan_sample_prepared(p, mm, plan, 0.0)
+                probe = out[0, 0, 0] * jnp.float32(1e-38)
+                return mm + probe, acc + probe
+            mm, acc = jax.lax.fori_loop(
+                0, n, body, (mat, jnp.float32(0.0)))
+            return mm[0, 0] + acc
 
-    iters = 20
-    float(chained(1, vol, mj))
-    float(chained(iters, vol, mj))
+        mj = jnp.asarray(m, jnp.float32)
+        float(chained(1, prep, mj))
+        float(chained(ITERS, prep, mj))
 
-    def run(n):
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(chained(n, vol, mj))
-            best = min(best, time.perf_counter() - t0)
-        return best
+        def run(n):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(chained(n, prep, mj))
+                best = min(best, time.perf_counter() - t0)
+            return best
 
-    per_call_ms = (run(iters) - run(1)) / (iters - 1) * 1e3
+        ms = (run(ITERS) - run(1)) / (ITERS - 1) * 1e3
+        return ms, type(plan).__name__
 
+    times = []
+    for i in range(N_ROT):
+        ang = rng.uniform(-180, 180, 3)   # reference benchmark.py:52
+        m = transform_matrix(rotation=tuple(ang), rotation_order="sxyz",
+                             center=center)
+        ms, kind = measure(m, "linear")
+        if ms is not None:
+            times.append(ms)
+        print(f"# rot {i} {np.round(ang, 1).tolist()}: {ms:.2f} ms "
+              f"({kind})", file=sys.stderr)
+
+    mean_ms = float(np.mean(times))
     print(json.dumps({
-        "metric": (f"StaticVolume {size}^3 f32 linear rotation, resident "
-                   f"volume, device output ({impl})"),
-        "value": round(per_call_ms, 3),
+        "metric": (f"StaticVolume {size}^3 f32 linear, mean of {N_ROT} "
+                   f"random 'sxyz' rotations (reference benchmark "
+                   f"workload), resident volume, device output"),
+        "value": round(mean_ms, 3),
         "unit": "ms",
-        "vs_baseline": round(BASELINE_MS / per_call_ms, 2),
+        "vs_baseline": round(BASELINE_STATIC_MS / mean_ms, 2),
     }))
 
 

@@ -104,3 +104,21 @@ def test_sharded_batch_validation(mesh, volume):
     ms = np.stack([np.eye(4, dtype=np.float32)] * 3)  # 3 % 8 != 0
     with pytest.raises(ValueError):
         sharded_affine_batch(volume, ms, mesh=mesh)
+
+
+def test_sharded_prefilter_matches_global(mesh):
+    """With slabs thicker than the FIR support, construction prefilters
+    shard-wise (halo FIR over ICI) and must match the global prefilter."""
+    rng = np.random.default_rng(7)
+    vol = rng.random((192, 16, 16)).astype(np.float32)
+    sv = ShardedVolume(vol, interpolation="filt_bspline", mesh=mesh)
+    import jax
+    from voltools_tpu.ops.prefilter import bspline_prefilter
+    want = np.asarray(jax.jit(bspline_prefilter)(vol))
+    np.testing.assert_allclose(np.asarray(sv.data), want, atol=2e-5)
+    # and a transform through it still matches the single-chip result
+    m = transform_matrix(rotation=(10, 4, -7), rotation_order="rzxz",
+                         center=(95.5, 7.5, 7.5))
+    got = sv.affine(m)
+    want_t = vt.affine(vol, m, interpolation="filt_bspline", device="jax")
+    np.testing.assert_allclose(got, want_t, atol=5e-5)

@@ -101,6 +101,82 @@ def test_walk_prepared_split_nonzero_cval(volume):
     assert_close_off_edges(got, expected, m)
 
 
+def test_walk_grid_batched_matches_oneshot(volume):
+    """The grid-batched runner (leading matrix grid dim, per-matrix SMEM
+    payloads) must agree with per-matrix launches for a group of matrices
+    sharing one canonical binary."""
+    import jax.numpy as jnp
+
+    from voltools_tpu.kernels.pallas_walk import (_unblocker, _walk_runner,
+                                                  canonical_walk_variant,
+                                                  permute_matrix)
+    from voltools_tpu.kernels.planner import refit_to_group
+
+    # a cube so group refits can use any axis permutation
+    cube = np.random.default_rng(9).random((48, 48, 48)).astype(np.float32)
+    shape = cube.shape
+    m0 = random_rotation(30, shape)
+    v0 = choose_walk_variant(m0, shape, "linear", "constant")
+    assert v0 is not None
+    ms, plans = [m0], [v0]
+    seed = 31
+    while len(ms) < 3 and seed < 60:
+        m = random_rotation(seed, shape)
+        seed += 1
+        own = choose_walk_variant(m, shape, "linear", "constant")
+        fit = refit_to_group(v0, own, m, shape, "linear", "constant")
+        if fit is not None:
+            ms.append(m)
+            plans.append(fit)
+    if len(ms) < 2:
+        # no rotation fit the group: still exercise the batched plumbing
+        # with a repeated matrix
+        ms.append(ms[0])
+        plans.append(plans[0])
+    volume = cube
+    prep = prepare_walk_volume(volume, v0)
+    payloads = jnp.stack([permute_matrix(m, p) for m, p in zip(ms, plans)])
+    n = payloads.shape[0]
+    vc = canonical_walk_variant(v0)
+    outs = np.asarray(_unblocker(v0.out_d, v0.vb, v0.wb, v0.gu, v0.gv,
+                                 v0.po, n)(_walk_runner(vc, 0.0, True, n)(
+                                     prep, payloads)))
+    for j, (m, p) in enumerate(zip(ms, plans)):
+        want = np.asarray(affine_sample(volume, m, "linear", "constant",
+                                        prefiltered=True))
+        assert_close_off_edges(outs[j], want, m)
+
+
+def test_walk_reshape_out_shape(volume):
+    """Caller-supplied out_shape (the reshape=True path): the kernel samples
+    the ORIGINAL volume onto an enlarged output grid with the pad-shifted
+    matrix (reference ran its same kernel for reshape,
+    ``voltools/transforms.py:171-212``)."""
+    from voltools_tpu.utils import (compute_post_transform_dimensions,
+                                    translation_matrix)
+
+    m = random_rotation(6, volume.shape)
+    pad_before, _, new_dims = compute_post_transform_dimensions(
+        volume.shape, m)
+    m2 = m @ translation_matrix(pad_before, m.dtype)
+    out_shape = tuple(int(d) for d in new_dims)
+    v = choose_walk_variant(m2, volume.shape, "linear", "constant",
+                            out_shape=out_shape)
+    assert v is not None
+    assert tuple(out_shape[v.po[k]] for k in range(3)) == v.out_d
+    got = np.asarray(affine_sample_pallas_walk(volume, m2, v, 0.0,
+                                               interpret=True))
+    assert got.shape == out_shape
+    expected = np.asarray(affine_sample(volume, m2, "linear", "constant",
+                                        prefiltered=True,
+                                        out_shape=out_shape))
+    err = np.abs(got - expected)
+    idx = np.indices(out_shape, dtype=np.float64).reshape(3, -1)
+    src = (np.asarray(m2)[:3, :3] @ idx + np.asarray(m2)[:3, 3:4])
+    near = (np.abs(src - np.round(src)) < 1e-4).any(axis=0).reshape(out_shape)
+    assert np.where(near, 0.0, err).max() <= 5e-5
+
+
 def test_walk_covers_reuses_envelope(volume):
     """A batch envelope variant must cover each member matrix."""
     ms = np.stack([random_rotation(10 + i, volume.shape) for i in range(4)])

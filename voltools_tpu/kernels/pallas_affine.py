@@ -95,12 +95,15 @@ def _adjusted_matrix(matrix: np.ndarray, ps, po) -> np.ndarray:
 
 
 def choose_variant(matrix, vol_shape, interpolation: str,
-                   mode: str = "constant") -> Optional[Variant]:
+                   mode: str = "constant",
+                   out_shape=None) -> Optional[Variant]:
     """Pick the cheapest axis assignment whose window fits, or None.
 
     ``matrix`` may be one (4,4) map or a (N,4,4) batch — for a batch the
     window/slop envelope covers every matrix, so one compiled kernel serves
     the whole sweep (the matrix itself stays a traced argument)."""
+    if out_shape is None:
+        out_shape = vol_shape
     matrices = np.asarray(matrix, dtype=np.float64)
     if matrices.ndim == 2:
         matrices = matrices[None]
@@ -135,7 +138,7 @@ def choose_variant(matrix, vol_shape, interpolation: str,
                     continue
             if w0 * w1 > _ROW_BUDGET_LOOP:
                 continue
-            out_d = tuple(vol_shape[po[k]] for k in range(3))
+            out_d = tuple(out_shape[po[k]] for k in range(3))
             nv = (w0 * w1 + 7) // 8
             dx_pad = ((vol_shape[ps[2]] + 127) // 128) * 128
             # the window scratch (2+ pipeline slots) must fit VMEM: its size
@@ -155,14 +158,28 @@ def choose_variant(matrix, vol_shape, interpolation: str,
     return best
 
 
+def variant_cost(v: Variant) -> float:
+    """The chooser's cost model recomputed from a variant's own parameters
+    (lets callers gate cached-variant reuse on cost: a cached envelope that
+    covers a matrix can still be much slower than its tight optimum,
+    because the select-tree scans the whole window)."""
+    pad = max(v.slop, v.slop + 1 if v.slop else 1) if v.order == 3 else v.slop
+    ndx = (v.order + 1) + 2 * pad
+    return v.nv * ndx * (v.order + 1) ** 2 * (1.0 if v.unroll else 1.5)
+
+
 def variant_covers(v: Variant, matrix, vol_shape, interpolation: str,
-                   mode: str = "constant") -> bool:
+                   mode: str = "constant", out_shape=None) -> bool:
     """True when an already-compiled variant's window/slop envelope covers
     ``matrix`` — lets sweeps reuse kernels instead of recompiling per angle."""
     order = 1 if interpolation == "linear" else 3
     if order != v.order or mode != v.mode:
         return False
     if tuple(vol_shape[v.ps[k]] for k in range(3)) != v.d:
+        return False
+    if out_shape is None:
+        out_shape = vol_shape
+    if tuple(out_shape[v.po[k]] for k in range(3)) != v.out_d:
         return False
     matrices = np.asarray(matrix, dtype=np.float64)
     if matrices.ndim == 2:

@@ -190,9 +190,77 @@ def _geometry(a, order, vb, wb, kax):
     return hz, y_hi - y_lo + 1, y_lo, (slop_lo, slop_hi), kappa
 
 
+_PERMS = tuple(itertools.permutations((0, 1, 2)))
+_KAXES = (-1, 0, 1, 2)
+_LADDER_ARR = np.asarray(_SLOP_LADDER)
+
+
+def _ladder_arr(x):
+    """Vectorized slop ladder: round each element up to the next rung."""
+    idx = np.searchsorted(_LADDER_ARR, x)
+    return np.where(idx < len(_LADDER_ARR),
+                    _LADDER_ARR[np.minimum(idx, len(_LADDER_ARR) - 1)], x)
+
+
+_PS_IDX = np.array([ps for ps in _PERMS for _ in _PERMS])          # (36, 3)
+_PO_IDX = np.array([list(po) + [3] for _ in _PERMS for po in _PERMS])  # (36,4)
+
+
+def _adjusted_all(matrices):
+    """(N,4,4) matrices -> (36, N, 3, 4) adjusted forms over (ps, po)."""
+    A = matrices[:, _PS_IDX[:, :, None], _PO_IDX[:, None, :]]  # (N,36,3,4)
+    return np.ascontiguousarray(A.transpose(1, 0, 2, 3), np.float32)
+
+
+def _vec_geometry(A, order):
+    """Vectorized :func:`_geometry` over leading axes and packings/kaxes.
+
+    ``A``: (C, N, 3, 4) f32.  Returns per packing index p a dict of arrays:
+    hz (C,N), slop_lo/hi (C,N), drift_ok (C,N), and per-kax (axis -1, order
+    ``_KAXES``): kok (C,N,4), kappa (C,N,4), res (C,N,4,3), y_lo/y_hi
+    (C,N,4) -- everything except e-dependent parts; e enters via callers.
+    """
+    t_lo, t_hi = (0, 1) if order == 1 else (-1, 2)
+    drift = A[..., 2, 0] * np.float32(7.0)
+    drift_ok = np.abs(drift) <= _SLOP_LIMIT
+    slop_lo = np.where(drift < -1e-5, np.ceil(-drift + 1e-4), 0.0)
+    slop_hi = np.where(drift > 1e-5, np.ceil(drift + 1e-4), 0.0)
+    denom = A[..., 0, :3]
+    num = A[..., 1, :3]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        kap_axes = num / denom
+    kok = np.concatenate([np.ones_like(denom[..., :1], bool),
+                          np.abs(denom) >= 1e-6], axis=-1)
+    kappa = np.concatenate([np.zeros_like(kap_axes[..., :1]), kap_axes],
+                           axis=-1)
+    kappa = np.where(kok, kappa, 0.0)
+    # res[..., k, i] = a1i - kappa_k * a0i
+    res = num[..., None, :] - kappa[..., :, None] * denom[..., None, :]
+    return dict(slop_lo=slop_lo.astype(np.int64),
+                slop_hi=slop_hi.astype(np.int64), drift_ok=drift_ok,
+                kok=kok, kappa=kappa, res=res, t_lo=t_lo, t_hi=t_hi)
+
+
+def _band_bounds(geo, A, vb, wb, order):
+    """Packing-dependent walk/band extents from :func:`_vec_geometry`
+    output: hz (C,N), y_lo/y_hi (C,N,4)."""
+    e = np.array([7.0, vb - 1.0, wb - 1.0], np.float32)
+    tapspan = 1 if order == 1 else 3
+    span_z = np.abs(A[..., 0, :3]) @ e
+    hz = np.ceil(span_z).astype(np.int64) + tapspan + 3
+    rese = geo["res"] * e
+    wob = np.abs(geo["kappa"]) * float(geo["t_hi"])
+    lo = np.minimum(rese, 0.0).sum(-1) - wob
+    hi = np.maximum(rese, 0.0).sum(-1) + wob
+    y_lo = np.floor(lo).astype(np.int64) + geo["t_lo"] - 2
+    y_hi = np.ceil(hi).astype(np.int64) + geo["t_hi"] + 1
+    return hz, y_lo, y_hi
+
+
 def choose_walk_variant(matrix, vol_shape, interpolation: str,
                         mode: str = "constant", known=(),
-                        sticky: float = 1.35) -> Optional[WalkVariant]:
+                        sticky: float = 1.35,
+                        out_shape=None) -> Optional[WalkVariant]:
     """Pick the cheapest (axes, packing, macro) assignment for the kernel.
 
     ``known`` is a collection of already-compiled canonical variants; when
@@ -202,109 +270,145 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
     orientations converge onto a handful of kernels.
 
     ``matrix`` may be (4,4) or (N,4,4) (envelope over the batch).  Returns
-    None when no assignment fits the band/walk limits.
+    None when no assignment fits the band/walk limits.  The search is
+    numpy-vectorized over all (ps, po, packing, kax, macro) configurations
+    (the scalar :func:`_geometry` stays the reference used by
+    :func:`walk_variant_covers`, which re-validates the winner).
     """
+    if out_shape is None:
+        out_shape = vol_shape
     matrices = np.asarray(matrix, dtype=np.float64)
     if matrices.ndim == 2:
         matrices = matrices[None]
     order = 1 if interpolation == "linear" else 3
     ntaps = 2 if order == 1 else 4
     tapspan = ntaps - 1
+
+    A = _adjusted_all(matrices)                       # (36, N, 3, 4)
+    geo = _vec_geometry(A, order)
+    aaE = np.abs(A).max(axis=1)                       # (36, 3, 4) envelope
+    slop_lo = _ladder_arr(geo["slop_lo"].max(1))      # (36,)
+    slop_hi = _ladder_arr(geo["slop_hi"].max(1))
+    base_ok = geo["drift_ok"].all(1)                  # (36,)
+    kok = geo["kok"].all(1)                           # (36, 4)
+    kapM = np.abs(geo["kappa"]).max(1)                # (36, 4)
+    resM = np.abs(geo["res"]).max(1)                  # (36, 4, 3)
+
+    # permutation-dependent dims
+    d0 = np.array([vol_shape[ps[0]] for ps in _PERMS for _ in _PERMS])
+    d1 = np.array([vol_shape[ps[1]] for ps in _PERMS for _ in _PERMS])
+    d2 = np.array([vol_shape[ps[2]] for ps in _PERMS for _ in _PERMS])
+    o0 = np.array([out_shape[po[0]] for _ in _PERMS for po in _PERMS])
+    o1 = np.array([out_shape[po[1]] for _ in _PERMS for po in _PERMS])
+    o2 = np.array([out_shape[po[2]] for _ in _PERMS for po in _PERMS])
+    dx_pad = ((d2 + 127) // 128) * 128
+    nvregs = (o0 * o1 * o2) / 1024.0
+    ndx0 = ntaps + slop_lo + slop_hi
+    if order == 3 and mode == "constant":
+        ndx0 = ndx0 + 2
+
+    # fully-vectorized search over C=36 perms x K=4 kax x P packings x M
+    # macros (one pass of medium-sized numpy arrays, ~1 ms host time)
+    e_all = np.array([[7.0, vb - 1.0, wb - 1.0] for vb, wb in _PACKINGS],
+                     np.float32)                      # (P, 3)
+    E_all = np.array([[[8.0 * gu - 1.0, vb * gv - 1.0, wb - 1.0]
+                       for gu, gv in _MACROS]
+                      for vb, wb in _PACKINGS], np.float32)  # (P, M, 3)
+    guv = np.array([gu * gv for gu, gv in _MACROS])   # (M,)
+    t_lo, t_hi = geo["t_lo"], geo["t_hi"]
+
+    span_z = np.abs(A[:, :, 0, :3]) @ e_all.T         # (36, N, P)
+    hz_r = np.ceil(span_z).astype(np.int64) + tapspan + 3
+    wob = np.abs(geo["kappa"]) * float(t_hi)          # (36, N, 4)
+    lo_b = (np.minimum(geo["res"], 0.0) @ e_all.T
+            - wob[..., None])                         # (36, N, 4, P)
+    hi_b = np.maximum(geo["res"], 0.0) @ e_all.T + wob[..., None]
+    ylo_r = np.floor(lo_b).astype(np.int64) + t_lo - 2
+    yhi_r = np.ceil(hi_b).astype(np.int64) + t_hi + 1
+
+    hz_raw = hz_r.max(1)                              # (36, P)
+    y_lo = (ylo_r.min(1) // _YLO_STEP) * _YLO_STEP    # (36, 4, P)
+    y_hi = yhi_r.max(1)
+    hz = -_HZ_STEP * (-hz_raw // _HZ_STEP)            # (36, P)
+    hy = (y_hi - y_lo + 8) // 8 * 8                   # (36, 4, P)
+    ok0 = ((base_ok[:, None] & (hz <= _MAX_HZ))[:, None]
+           & kok[:, :, None] & (hy <= _MAX_HY))       # (36, 4, P)
+    hz_c = np.minimum(hz, d0[:, None])                # (36, P)
+    ycand = (hy + 7) // 8
+
+    span0 = np.einsum("cj,pmj->cpm", aaE[:, 0, :3], E_all)
+    w0 = (np.ceil(span0).astype(np.int64) + tapspan + 4
+          + (hz - hz_raw)[:, :, None])                # (36, P, M)
+    w0 = np.minimum(-_W_STEP * (-np.maximum(w0, hz[:, :, None]) // _W_STEP),
+                    d0[:, None, None])
+    w1 = (np.ceil(np.einsum("ckj,pmj->ckpm", resM, E_all)
+                  + kapM[:, :, None, None] * (w0[:, None] + 1.0))
+          .astype(np.int64) + 3 + hy[..., None])      # (36, 4, P, M)
+    w1 = np.minimum(-_W_STEP * (-w1 // _W_STEP), d1[:, None, None, None])
+    span_x = (np.einsum("cj,pmj->cpm", aaE[:, 2, :3], E_all)
+              + tapspan + (slop_lo + slop_hi)[:, None, None] + 4)
+    dyn = (span_x <= 128 - 32 - 2) & (dx_pad > 128)[:, None, None]
+    xg = np.where(dyn, 32, 128)                       # (36, P, M)
+    xw = np.where(dyn, 128, dx_pad[:, None, None])
+    nbw = xw // 128
+    win_bytes = 2 * w0[:, None] * w1 * xw[:, None] * 4
+    ok = ok0[..., None] & (hy[..., None] <= w1) & (win_bytes <= _VMEM_BUDGET)
+
     best = None
-    best_cost = None
-    for ps in itertools.permutations((0, 1, 2)):
-        for po in itertools.permutations((0, 1, 2)):
-            aas = [_adjusted_matrix(m, ps, po) for m in matrices]
-            aa = np.max(np.abs(np.stack(aas)), axis=0)
-            for vb, wb in _PACKINGS:
-                for kax in (-1, 0, 1, 2):
-                    geos = [_geometry(a, order, vb, wb, kax) for a in aas]
-                    if any(g is None for g in geos):
-                        continue
-                    hz_raw = max(g[0] for g in geos)
-                    y_lo = min(g[2] for g in geos)
-                    y_hi = max(g[2] + g[1] - 1 for g in geos)
-                    # quantize: hz to _HZ_STEP, the band start down to
-                    # _YLO_STEP, slop to the ladder -- nearby matrices then
-                    # produce identical kernel parameters (see ladder note)
-                    hz = -_HZ_STEP * (-hz_raw // _HZ_STEP)
-                    y_lo = (y_lo // _YLO_STEP) * _YLO_STEP
-                    # whole 8-row groups: a partial group would read past
-                    # the window (Mosaic clamps the start, shifting rows)
-                    hy = (y_hi - y_lo + 8) // 8 * 8
-                    slop_lo = _ladder(max(g[3][0] for g in geos))
-                    slop_hi = _ladder(max(g[3][1] for g in geos))
-                    kap = max(abs(g[4]) for g in geos)
-                    if hz > _MAX_HZ or hy > _MAX_HY:
-                        continue
-                    d = tuple(vol_shape[ps[k]] for k in range(3))
-                    hz_c = min(hz, d[0])
-                    out_d = tuple(vol_shape[po[k]] for k in range(3))
-                    dx_pad = ((d[2] + 127) // 128) * 128
-                    ndx = ntaps + slop_lo + slop_hi
-                    if order == 3 and mode == "constant":
-                        ndx += 2
-                    ycand = (hy + 7) // 8
-                    for gu, gv in _MACROS:
-                        E = (8.0 * gu - 1.0, vb * gv - 1.0, wb - 1.0)
-                        # the window must hold the quantized walk plus the
-                        # macro's corner spread; quantize to _W_STEP
-                        w0 = (int(math.ceil(
-                            sum(aa[0, i] * E[i] for i in range(3))))
-                            + tapspan + 4 + (hz - hz_raw))
-                        w0 = min(-_W_STEP * (-max(w0, hz) // _W_STEP), d[0])
-                        resmax = np.max(np.abs(np.stack(
-                            [[a[1, i] - g[4] * a[0, i] for i in range(3)]
-                             for a, g in zip(aas, geos)])), axis=0)
-                        zrange = w0 + 1.0
-                        w1 = int(math.ceil(
-                            sum(resmax[i] * E[i] for i in range(3))
-                            + kap * zrange)) + 3 + hy
-                        w1 = min(-_W_STEP * (-w1 // _W_STEP), d[1])
-                        if hy > w1:
-                            continue
-                        # window x: a dynamically-positioned 128-wide window
-                        # of 32-granular blocks when the macro's x footprint
-                        # fits; otherwise the full padded x extent
-                        span_x = (sum(aa[2, i] * E[i] for i in range(3))
-                                  + tapspan + slop_lo + slop_hi + 4)
-                        if span_x <= 128 - 32 - 2 and dx_pad > 128:
-                            xg, xw = 32, 128
-                        else:
-                            xg, xw = 128, dx_pad
-                        nbw = xw // 128
-                        win_bytes = 2 * w0 * w1 * xw * 4
-                        if win_bytes > _VMEM_BUDGET:
-                            continue
-                        # ops-calibrated cost model (per plane / per vreg)
-                        per_plane = (ycand * nbw * (1 + ndx)
-                                     + (nbw - 1) * ycand * ndx * 2
-                                     + ntaps * ycand * (2 * ndx + 3)
-                                     + 3 * ntaps + 10)
-                        fixed = 170 + 6 * ndx * ntaps
-                        per_vreg = hz_c * per_plane + fixed
-                        nvregs = (out_d[0] * out_d[1] * out_d[2]) / 1024.0
-                        dma = ((w0 * w1 * xw * 4) / (gu * gv) / 700.0
-                               + 40.0 * (xw // xg) / (gu * gv))
-                        cost = (per_vreg + dma) * nvregs
-                        if best_cost is None or cost < best_cost:
-                            best_cost = cost
-                            best = WalkVariant(
-                                ps=ps, po=tuple(po), vb=vb, wb=wb, gu=gu,
-                                gv=gv, w0=w0, w1=w1, hz=hz_c, hy=hy,
-                                kax=kax, d=d, xg=xg, xw=xw, out_d=out_d,
-                                order=order, mode=mode, slop_lo=slop_lo,
-                                slop_hi=slop_hi, y_lo=y_lo)
+    best_cost = np.inf
+    if ok.any():
+        # ops-calibrated cost model (per plane / per vreg)
+        nd = ndx0[:, None, None, None]
+        per_plane = (ycand[..., None] * nbw[:, None] * (1 + nd)
+                     + (nbw - 1)[:, None] * ycand[..., None] * nd * 2
+                     + ntaps * ycand[..., None] * (2 * nd + 3)
+                     + 3 * ntaps + 10)
+        fixed = 170 + 6 * ndx0 * ntaps
+        per_vreg = (hz_c[:, None, :, None] * per_plane
+                    + fixed[:, None, None, None])
+        dma = ((w0[:, None] * w1 * xw[:, None] * 4.0) / guv / 700.0
+               + 40.0 * (xw // xg)[:, None] / guv)
+        cost = np.where(ok, (per_vreg + dma)
+                        * nvregs[:, None, None, None], np.inf)
+        ci = int(np.argmin(cost))
+        pq, ki, pi, mi = np.unravel_index(ci, cost.shape)
+        best_cost = float(cost[pq, ki, pi, mi])
+        ps, po = _PERMS[pq // 6], _PERMS[pq % 6]
+        vb, wb = _PACKINGS[pi]
+        gu, gv = _MACROS[mi]
+        best = WalkVariant(
+            ps=ps, po=po, vb=vb, wb=wb, gu=gu, gv=gv,
+            w0=int(w0[pq, pi, mi]), w1=int(w1[pq, ki, pi, mi]),
+            hz=int(hz_c[pq, pi]), hy=int(hy[pq, ki, pi]), kax=_KAXES[ki],
+            d=(int(d0[pq]), int(d1[pq]), int(d2[pq])),
+            xg=int(xg[pq, pi, mi]), xw=int(xw[pq, pi, mi]),
+            out_d=(int(o0[pq]), int(o1[pq]), int(o2[pq])),
+            order=order, mode=mode, slop_lo=int(slop_lo[pq]),
+            slop_hi=int(slop_hi[pq]), y_lo=int(y_lo[pq, ki, pi]))
+    if best is not None and not walk_variant_covers(
+            best, matrices, vol_shape, interpolation, mode,
+            out_shape=out_shape):
+        # f32 associativity differences between the vectorized estimates and
+        # the scalar reference can flip a bound at an exact boundary; give
+        # the envelope one slot of headroom and re-validate
+        import dataclasses
+        best = dataclasses.replace(
+            best, hz=min(best.hz + _HZ_STEP, best.d[0], best.w0),
+            hy=min(best.hy + 8, _MAX_HY, best.w1), y_lo=best.y_lo - 4)
+        if not walk_variant_covers(best, matrices, vol_shape, interpolation,
+                                   mode, out_shape=out_shape):
+            best = None
     if known:
         fitv, fitc = fit_walk_variant(matrix, vol_shape, interpolation,
-                                      mode, known)
+                                      mode, known, out_shape=out_shape)
         if fitv is not None and (best is None or fitc <= sticky * best_cost):
             return fitv
     return best
 
 
 def walk_variant_covers(v: WalkVariant, matrix, vol_shape,
-                        interpolation: str, mode: str = "constant") -> bool:
+                        interpolation: str, mode: str = "constant",
+                        out_shape=None) -> bool:
     """True when a compiled variant's envelope covers ``matrix`` (lets
     sweeps reuse kernels instead of recompiling per angle).
 
@@ -315,9 +419,11 @@ def walk_variant_covers(v: WalkVariant, matrix, vol_shape,
     order = 1 if interpolation == "linear" else 3
     if order != v.order or mode != v.mode:
         return False
+    if out_shape is None:
+        out_shape = vol_shape
     if tuple(vol_shape[v.ps[k]] for k in range(3)) != v.d:
         return False
-    if tuple(vol_shape[v.po[k]] for k in range(3)) != v.out_d:
+    if tuple(out_shape[v.po[k]] for k in range(3)) != v.out_d:
         return False
     matrices = np.asarray(matrix, dtype=np.float64)
     if matrices.ndim == 2:
@@ -374,7 +480,7 @@ def _variant_cost(v: WalkVariant) -> float:
 
 
 def fit_walk_variant(matrix, vol_shape, interpolation: str, mode: str,
-                     known):
+                     known, out_shape=None):
     """Cheapest already-compiled canonical config that covers ``matrix``
     under SOME axis permutation, as (variant, cost) or (None, None).
 
@@ -384,46 +490,91 @@ def fit_walk_variant(matrix, vol_shape, interpolation: str, mode: str,
     best = None
     best_cost = None
     order = 1 if interpolation == "linear" else 3
+    ntaps = 2 if order == 1 else 4
+    tapspan = ntaps - 1
+    if out_shape is None:
+        out_shape = vol_shape
     matrices = np.asarray(matrix, dtype=np.float64)
     if matrices.ndim == 2:
         matrices = matrices[None]
+
+    A = _adjusted_all(matrices)
+    geo = _vec_geometry(A, order)
+    aaE = np.abs(A).max(axis=1)
+    slop_lo = geo["slop_lo"].max(1)
+    slop_hi = geo["slop_hi"].max(1)
+    kok = geo["kok"].all(1) & geo["drift_ok"].all(1)[:, None]  # (36, 4)
+    kapM = np.abs(geo["kappa"]).max(1)
+    resM = np.abs(geo["res"]).max(1)
+    dims = np.array([[vol_shape[ps[k]] for k in range(3)]
+                     for ps in _PERMS for _ in _PERMS])
+    odims = np.array([[out_shape[po[k]] for k in range(3)]
+                      for _ in _PERMS for po in _PERMS])
+    band_cache = {}
+
     for K in known:
         if K.order != order or K.mode != mode:
             continue
         cost = _variant_cost(K)
         if best_cost is not None and cost >= best_cost:
             continue
-        found = False
-        for ps in itertools.permutations((0, 1, 2)):
-            if tuple(vol_shape[ps[k]] for k in range(3)) != K.d:
-                continue
-            for po in itertools.permutations((0, 1, 2)):
-                if tuple(vol_shape[po[k]] for k in range(3)) != K.out_d:
-                    continue
-                # kappa / y_lo are runtime payload, so the fit may pick the
-                # band slope that makes this matrix's band fit K's height
-                for kax in (-1, 0, 1, 2):
-                    geos = [_geometry(_adjusted_matrix(m, ps, po), order,
-                                      K.vb, K.wb, kax) for m in matrices]
-                    if any(g is None for g in geos):
-                        continue
-                    y_lo_m = min(g[2] for g in geos)
-                    cand = dataclasses.replace(K, ps=tuple(ps),
-                                               po=tuple(po), kax=kax,
-                                               y_lo=y_lo_m)
-                    if walk_variant_covers(cand, matrix, vol_shape,
-                                           interpolation, mode):
-                        best, best_cost = cand, cost
-                        found = True
-                        break
-                if found:
-                    break
-            if found:
+        key = (K.vb, K.wb)
+        if key not in band_cache:
+            band_cache[key] = _band_bounds(geo, A, K.vb, K.wb, order)
+        hz_r, ylo_r, yhi_r = band_cache[key]
+        hz_m = hz_r.max(1)                               # (36,)
+        y_lo_m = ylo_r.min(1)                            # (36, 4)
+        y_hi_m = yhi_r.max(1)
+        E = np.array([8.0 * K.gu - 1.0, K.vb * K.gv - 1.0, K.wb - 1.0],
+                     np.float32)
+        need_w0 = (np.ceil(aaE[:, 0, :3] @ E).astype(np.int64)
+                   + tapspan + 4 + (K.hz - hz_m))
+        need_w1 = (np.ceil(resM @ E + kapM * (K.w0 + 1.0)).astype(np.int64)
+                   + 3 + K.hy)                           # (36, 4)
+        ok = ((dims == K.d).all(1) & (odims == K.out_d).all(1)
+              & (hz_m <= K.hz) & (slop_lo <= K.slop_lo)
+              & (slop_hi <= K.slop_hi)
+              & (np.minimum(need_w0, dims[:, 0]) <= K.w0))[:, None]
+        ok = ok & kok & (y_hi_m - y_lo_m + 1 <= K.hy) \
+            & (np.minimum(need_w1, dims[:, 1:2]) <= K.w1)
+        if K.dyn_x:
+            span_x = (aaE[:, 2, :3] @ E + tapspan + K.slop_lo
+                      + K.slop_hi + 4)
+            ok = ok & (span_x <= 128 - 32 - 2)[:, None]
+        hits = np.argwhere(ok)
+        for pq, ki in hits:
+            cand = dataclasses.replace(
+                K, ps=_PERMS[pq // 6], po=_PERMS[pq % 6], kax=_KAXES[ki],
+                y_lo=int(y_lo_m[pq, ki]))
+            # final gate through the scalar reference (f32 associativity
+            # can flip a vectorized bound at an exact boundary)
+            if walk_variant_covers(cand, matrices, vol_shape, interpolation,
+                                   mode, out_shape=out_shape):
+                best, best_cost = cand, cost
                 break
     return best, best_cost
 
 
-def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False):
+class _MatView:
+    """Cached scalar-read view of the SMEM matrix payload: ``m[r, c]`` reads
+    ``ref[r, c]`` (unbatched) or ``ref[bi, r, c]`` (batched), memoized so
+    repeated uses emit one SMEM load."""
+
+    def __init__(self, ref, bi=None):
+        self._ref, self._bi, self._cache = ref, bi, {}
+
+    def __getitem__(self, rc):
+        if rc not in self._cache:
+            r, c = rc
+            if self._bi is None:
+                self._cache[rc] = self._ref[r, c]
+            else:
+                self._cache[rc] = self._ref[self._bi, r, c]
+        return self._cache[rc]
+
+
+def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False,
+                      batch: int = 0):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -465,41 +616,50 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False):
             return x
 
     def kernel(mat_ref, vol_hbm, out_ref, win_ref, sem):
-        ui = pl.program_id(0)
-        vi = pl.program_id(1)
-        wi = pl.program_id(2)
-        nu = pl.num_programs(0)
-        nv = pl.num_programs(1)
-        nw = pl.num_programs(2)
-        a = mat_ref  # (4,4) SMEM: permuted (3,4) matrix + payload row
-
-        # runtime band parameters (row 3 of the payload): the binary depends
-        # only on the band HEIGHT (hy), so its slope (kappa) and offset
-        # (y_lo) ride in SMEM and sweeps share one compiled kernel across
-        # band placements
-        kappa = a[3, 0]
-        y_lo_i = a[3, 1].astype(jnp.int32)
+        if batch:
+            bi = pl.program_id(0)
+            ui, vi, wi = (pl.program_id(1), pl.program_id(2),
+                          pl.program_id(3))
+            nu, nv, nw = (pl.num_programs(1), pl.num_programs(2),
+                          pl.num_programs(3))
+            nb = pl.num_programs(0)
+        else:
+            bi = None
+            ui, vi, wi = (pl.program_id(0), pl.program_id(1),
+                          pl.program_id(2))
+            nu, nv, nw = (pl.num_programs(0), pl.num_programs(1),
+                          pl.num_programs(2))
+            nb = 1
+        a = _MatView(mat_ref, bi)  # (4,4) permuted matrix + payload row
 
         # walk/window z start: lowest tap is floor(zf) + taps[0], minus one
         # slot of floor rounding and one of f32 skew
         zoff = taps[0] - 2
 
-        def zorg_of(ub, vbase, wbase):
-            zc = a[0, 0] * ub + a[0, 1] * vbase + a[0, 2] * wbase + a[0, 3]
-            zlo = (zc + jnp.minimum(a[0, 0] * 7.0, 0.0)
-                   + jnp.minimum(a[0, 1] * (vb - 1.0), 0.0)
-                   + jnp.minimum(a[0, 2] * (wb - 1.0), 0.0))
+        def zorg_of(am, ub, vbase, wbase):
+            zc = (am[0, 0] * ub + am[0, 1] * vbase + am[0, 2] * wbase
+                  + am[0, 3])
+            zlo = (zc + jnp.minimum(am[0, 0] * 7.0, 0.0)
+                   + jnp.minimum(am[0, 1] * (vb - 1.0), 0.0)
+                   + jnp.minimum(am[0, 2] * (wb - 1.0), 0.0))
             zorg = jnp.floor(zlo).astype(jnp.int32) + zoff
             return _pin(jnp.clip(zorg, 0, d0 - hz)), zc
 
-        def yb_of(ub, vbase, wbase, zk):
-            """y-band start the walk will use at plane zk (unclipped)."""
-            zc = a[0, 0] * ub + a[0, 1] * vbase + a[0, 2] * wbase + a[0, 3]
-            yc = a[1, 0] * ub + a[1, 1] * vbase + a[1, 2] * wbase + a[1, 3]
-            y_line = yc + kappa * (zk.astype(jnp.float32) - zc)
-            return jnp.floor(y_line).astype(jnp.int32) + y_lo_i
+        def yb_of(am, ub, vbase, wbase, zk):
+            """y-band start the walk will use at plane zk (unclipped).
 
-        def origins(ubt, vbt, wbt):
+            The band's slope (kappa) and offset (y_lo) are runtime payload
+            (row 3): the binary depends only on the band HEIGHT, so sweeps
+            share one compiled kernel across band placements."""
+            zc = (am[0, 0] * ub + am[0, 1] * vbase + am[0, 2] * wbase
+                  + am[0, 3])
+            yc = (am[1, 0] * ub + am[1, 1] * vbase + am[1, 2] * wbase
+                  + am[1, 3])
+            y_line = yc + am[3, 0] * (zk.astype(jnp.float32) - zc)
+            return (jnp.floor(y_line).astype(jnp.int32)
+                    + am[3, 1].astype(jnp.int32))
+
+        def origins(am, ubt, vbt, wbt):
             """Window origin: extremes of (zorg, yb) over the macro's walks;
             affine in each macro coordinate and in the walk plane, so the
             corners bound them.  The x origin is the macro's min x corner,
@@ -508,19 +668,21 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False):
             o1 = None
             for cu in (0.0, float(8 * (gu - 1))):
                 for cv in (0.0, float(vb * (gv - 1))):
-                    zorg_c, _ = zorg_of(ubt + cu, vbt + cv, wbt)
+                    zorg_c, _ = zorg_of(am, ubt + cu, vbt + cv, wbt)
                     o0 = zorg_c if o0 is None else jnp.minimum(o0, zorg_c)
                     for endk in (0, hz - 1):
-                        yb = yb_of(ubt + cu, vbt + cv, wbt, zorg_c + endk)
+                        yb = yb_of(am, ubt + cu, vbt + cv, wbt,
+                                   zorg_c + endk)
                         o1 = yb if o1 is None else jnp.minimum(o1, yb)
             o0 = _pin(jnp.clip(o0, 0, d0 - w0))
             o1 = _pin(jnp.clip(o1, 0, d1 - w1))
             if not dyn_x:
                 return o0, o1, jnp.int32(0)
-            xlo = (a[2, 0] * ubt + a[2, 1] * vbt + a[2, 2] * wbt + a[2, 3]
-                   + jnp.minimum(a[2, 0] * (8.0 * gu - 1.0), 0.0)
-                   + jnp.minimum(a[2, 1] * (vb * gv - 1.0), 0.0)
-                   + jnp.minimum(a[2, 2] * (wb - 1.0), 0.0))
+            xlo = (am[2, 0] * ubt + am[2, 1] * vbt + am[2, 2] * wbt
+                   + am[2, 3]
+                   + jnp.minimum(am[2, 0] * (8.0 * gu - 1.0), 0.0)
+                   + jnp.minimum(am[2, 1] * (vb * gv - 1.0), 0.0)
+                   + jnp.minimum(am[2, 2] * (wb - 1.0), 0.0))
             margin = v.dxs[0] - 2   # lowest gathered slot, floor + f32 skew
             xlo_i = jnp.floor(xlo).astype(jnp.int32) + jnp.int32(margin)
             tx = jnp.clip(xlo_i, 0, d2 - 1) // xg
@@ -538,22 +700,31 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False):
                                       sem.at[slot, j]).start()
 
         step = (ui * nv + vi) * nw + wi
-        total = nu * nv * nw
+        if batch:
+            step = bi * (nu * nv * nw) + step
+        total = nb * nu * nv * nw
         slot = jax.lax.rem(step, depth)
 
-        def step_bases(t):
+        def step_state(t):
+            """(matrix view, macro bases) of flattened step t."""
+            if batch:
+                bt = t // (nu * nv * nw)
+                t = t - bt * (nu * nv * nw)
+                am = _MatView(mat_ref, bt)
+            else:
+                am = a
             uu = t // (nv * nw)
             rest = t - uu * (nv * nw)
             vv = rest // nw
             ww = rest - vv * nw
-            return ((uu * (8 * gu)).astype(jnp.float32),
-                    (vv * (vb * gv)).astype(jnp.float32),
-                    (ww * wb).astype(jnp.float32))
+            return am, ((uu * (8 * gu)).astype(jnp.float32),
+                        (vv * (vb * gv)).astype(jnp.float32),
+                        (ww * wb).astype(jnp.float32))
 
         ubt = (ui * (8 * gu)).astype(jnp.float32)
         vbt = (vi * (vb * gv)).astype(jnp.float32)
         wbt = (wi * wb).astype(jnp.float32)
-        o0, o1, tx = origins(ubt, vbt, wbt)
+        o0, o1, tx = origins(a, ubt, vbt, wbt)
 
         @pl.when(step == 0)
         def _():
@@ -565,14 +736,14 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False):
 
                 @pl.when(t < total)
                 def _(t=t, j=j):
-                    bb = step_bases(t)
-                    start_window_dma(j, *origins(*bb))
+                    am, bb = step_state(t)
+                    start_window_dma(j, *origins(am, *bb))
 
         @pl.when(step + depth - 1 < total)
         def _():
             t = step + depth - 1
-            bb = step_bases(t)
-            start_window_dma(jax.lax.rem(t, depth), *origins(*bb))
+            am, bb = step_state(t)
+            start_window_dma(jax.lax.rem(t, depth), *origins(am, *bb))
 
         if dyn_x:
             ci_w, b0_w = tx % ncopies, tx // ncopies
@@ -695,11 +866,11 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False):
                     w = jnp.where(zvalid, w, 0.0)
                 wzs.append(w)
 
-            zorg, _ = zorg_of(ub, vbase, wbt)
+            zorg, _ = zorg_of(a, ub, vbase, wbt)
 
             def plane_step(k, acc):
                 zk = zorg + k
-                yb_k = yb_of(ub, vbase, wbt, zk)
+                yb_k = yb_of(a, ub, vbase, wbt, zk)
                 yb_k = _pin(jnp.clip(yb_k, o1, o1 + w1 - hy))
 
                 # per-plane z weight: sum of tap weights landing on zk
@@ -765,8 +936,11 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False):
             else:
                 inside = ((zf > -0.5) & (zf < d0 - 0.5) & (yf > -0.5)
                           & (yf < d1 - 0.5) & (xf > -0.5) & (xf < d2 - 0.5))
-            out_ref[igv, 0, pl.ds(igu * 8, 8), :] = jnp.where(
-                inside, out, jnp.float32(cval))
+            res_vreg = jnp.where(inside, out, jnp.float32(cval))
+            if batch:
+                out_ref[0, igv, 0, pl.ds(igu * 8, 8), :] = res_vreg
+            else:
+                out_ref[igv, 0, pl.ds(igu * 8, 8), :] = res_vreg
 
         for igu in range(gu):
             for igv in range(gv):
@@ -834,10 +1008,14 @@ def known_canonicals():
 
 
 @functools.lru_cache(maxsize=128)
-def _walk_runner(vc: WalkVariant, cval: float, interpret: bool):
+def _walk_runner(vc: WalkVariant, cval: float, interpret: bool,
+                 batch: int = 0):
     """Jitted pallas launch for a canonical variant: (vol_s, cols) -> the
     blocked output layout.  Cached so every variant sharing a canonical form
-    reuses one compiled executable."""
+    reuses one compiled executable.  ``batch`` > 0 adds a leading grid
+    dimension over a (batch, 4, 4) payload stack -- N matrices resolved in
+    ONE launch with per-matrix SMEM payloads (the batched sweep the
+    reference looped in Python, ``tests/benchmark.py:59-65``)."""
     if vc not in _KNOWN_CANONICALS:
         _KNOWN_CANONICALS.append(vc)
         del _KNOWN_CANONICALS[:-64]
@@ -852,8 +1030,23 @@ def _walk_runner(vc: WalkVariant, cval: float, interpret: bool):
     V_pad = -(v.vb * v.gv) * (-V // (v.vb * v.gv))
     W_pad = -v.wb * (-W // v.wb)
     grid = (U_pad // (8 * v.gu), V_pad // (v.vb * v.gv), W_pad // v.wb)
+    out_shape = (V_pad // v.vb, W_pad // v.wb, U_pad, 128)
+    # blocked layout (V/vb, W/wb, U, 128): Mosaic requires the block's
+    # trailing two dims to be (8k, 128)-aligned, so U and the lane pack go
+    # last
+    block = (v.gv, 1, 8 * v.gu, 128)
+    if batch:
+        grid = (batch,) + grid
+        out_shape = (batch,) + out_shape
+        block = (1,) + block
 
-    kernel = _make_walk_kernel(v, cval, interpret)
+        def index_map(b, u, vv, w):
+            return (b, vv, w, u, 0)
+    else:
+        def index_map(u, vv, w):
+            return (vv, w, u, 0)
+
+    kernel = _make_walk_kernel(v, cval, interpret, batch)
 
     def run(vol_s, cols):
         return pl.pallas_call(
@@ -863,14 +1056,9 @@ def _walk_runner(vc: WalkVariant, cval: float, interpret: bool):
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            # blocked layout (V/vb, W/wb, U, 128): Mosaic requires the
-            # block's trailing two dims to be (8k, 128)-aligned, so U and
-            # the lane pack go last
-            out_specs=pl.BlockSpec((v.gv, 1, 8 * v.gu, 128),
-                                   lambda u, vv, w: (vv, w, u, 0),
+            out_specs=pl.BlockSpec(block, index_map,
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct(
-                (V_pad // v.vb, W_pad // v.wb, U_pad, 128), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
             scratch_shapes=[pltpu.VMEM((2, v.nbw, v.w0, v.w1, 128),
                                        jnp.float32),
                             pltpu.SemaphoreType.DMA((2, v.nbw))],
@@ -881,9 +1069,10 @@ def _walk_runner(vc: WalkVariant, cval: float, interpret: bool):
 
 
 @functools.lru_cache(maxsize=128)
-def _unblocker(out_d, vb, wb, gu, gv, po):
+def _unblocker(out_d, vb, wb, gu, gv, po, batch: int = 0):
     """Jitted un-blocking: (V/vb, W/wb, U, 128) -> (U, V, W) -> inverse
-    output permutation.  Cheap XLA relayout, cached per shape/permutation."""
+    output permutation (leading batch dim when ``batch`` > 0).  Cheap XLA
+    relayout, cached per shape/permutation."""
     import jax
     import jax.numpy as jnp
 
@@ -899,7 +1088,15 @@ def _unblocker(out_d, vb, wb, gu, gv, po):
                                                           W_pad)
         return jnp.transpose(out[:U, :V, :W], inv)
 
-    return jax.jit(unblock)
+    def unblock_batch(out_b):
+        n = out_b.shape[0]
+        out = out_b.reshape(n, V_pad // vb, W_pad // wb, U_pad, vb, wb)
+        out = jnp.transpose(out, (0, 3, 1, 4, 2, 5)).reshape(
+            n, U_pad, V_pad, W_pad)
+        return jnp.transpose(out[:, :U, :V, :W],
+                             (0,) + tuple(i + 1 for i in inv))
+
+    return jax.jit(unblock_batch if batch else unblock)
 
 
 def permute_matrix(matrix, v: WalkVariant):

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from typing import Optional, Union
 
+import numpy as np
+
 from .pallas_affine import (Variant, affine_sample_pallas_variant,
                             choose_variant, variant_covers)
 from .pallas_walk import (WalkVariant, affine_sample_pallas_walk,
@@ -33,31 +35,34 @@ Plan = Union[Variant, WalkVariant]
 
 
 def choose_plan(matrix, vol_shape, interpolation: str,
-                mode: str = "constant") -> Optional[Plan]:
+                mode: str = "constant", out_shape=None) -> Optional[Plan]:
     """Pick a kernel plan for ``matrix`` ((4,4) or (N,4,4) envelope).
 
     The walk chooser is seeded with the already-compiled canonical forms so
     orientation sweeps stick to existing Mosaic binaries when one is within
     a modest cost factor of the per-matrix optimum."""
-    variant = choose_variant(matrix, vol_shape, interpolation, mode)
+    variant = choose_variant(matrix, vol_shape, interpolation, mode,
+                             out_shape=out_shape)
     if variant is not None and variant.unroll:
         return variant
     # sticky=3: a Mosaic compile costs ~13 s while a 2x-cost kernel costs
     # ~15 ms extra per call -- reuse wins for any sweep under ~900 calls
     walk = choose_walk_variant(matrix, vol_shape, interpolation, mode,
-                               known=known_canonicals(), sticky=3.0)
+                               known=known_canonicals(), sticky=3.0,
+                               out_shape=out_shape)
     if walk is not None:
         return walk
     return variant
 
 
 def plan_covers(plan: Plan, matrix, vol_shape, interpolation: str,
-                mode: str = "constant") -> bool:
+                mode: str = "constant", out_shape=None) -> bool:
     """True when a compiled plan's envelope covers ``matrix``."""
     if isinstance(plan, WalkVariant):
         return walk_variant_covers(plan, matrix, vol_shape, interpolation,
-                                   mode)
-    return variant_covers(plan, matrix, vol_shape, interpolation, mode)
+                                   mode, out_shape=out_shape)
+    return variant_covers(plan, matrix, vol_shape, interpolation, mode,
+                          out_shape=out_shape)
 
 
 def plan_sample(volume, matrix, plan: Plan, cval: float = 0.0):
@@ -88,6 +93,107 @@ def plan_sample_prepared(prepared, matrix, plan: Plan, cval: float = 0.0):
     if isinstance(plan, WalkVariant):
         return walk_sample_prepared(prepared, matrix, plan, cval)
     return affine_sample_pallas_variant(prepared, matrix, plan, cval)
+
+
+def plan_group_key(plan: Plan):
+    """Key under which matrices can share one compiled batch program: the
+    Mosaic binary (canonical form) plus the host-side data layout (ps/po).
+    Per-matrix kappa/y_lo ride in the runtime payload, so walk plans that
+    differ only in those group together."""
+    from .pallas_walk import canonical_walk_variant
+    if isinstance(plan, WalkVariant):
+        return (canonical_walk_variant(plan), plan.ps, plan.po)
+    return plan
+
+
+def plan_cost(plan: Plan) -> float:
+    """Kind-matched cost estimate (NOT comparable across kinds)."""
+    from .pallas_affine import variant_cost
+    from .pallas_walk import _variant_cost
+    if isinstance(plan, WalkVariant):
+        return _variant_cost(plan)
+    return variant_cost(plan)
+
+
+def refit_to_group(rep: Plan, own: Plan, matrix, vol_shape,
+                   interpolation: str,
+                   mode: str = "constant") -> Optional[Plan]:
+    """Re-plan ``matrix`` onto ``rep``'s exact execution group (same Mosaic
+    binary AND same data layout), adjusting only runtime payload fields.
+    ``own`` is the matrix's per-matrix optimal plan; rep must be the same
+    kind and within 1.35x of its cost (the gate keeps one big early group
+    from re-imposing the envelope penalty on every later matrix).  Returns
+    the adjusted plan, or None."""
+    import dataclasses
+
+    from .pallas_affine import _adjusted_matrix
+    from .pallas_walk import _KAXES, _geometry, walk_variant_covers
+
+    if type(rep) is not type(own) or plan_cost(rep) > 1.35 * plan_cost(own):
+        return None
+    if not isinstance(rep, WalkVariant):
+        if variant_covers(rep, matrix, vol_shape, interpolation, mode):
+            return rep
+        return None
+    order = 1 if interpolation == "linear" else 3
+    if rep.order != order or rep.mode != mode:
+        return None
+    matrices = np.asarray(matrix, dtype=np.float64)
+    if matrices.ndim == 2:
+        matrices = matrices[None]
+    for kax in _KAXES:
+        geos = [_geometry(_adjusted_matrix(m, rep.ps, rep.po), order,
+                          rep.vb, rep.wb, kax) for m in matrices]
+        if any(g is None for g in geos):
+            continue
+        cand = dataclasses.replace(rep, kax=kax,
+                                   y_lo=int(min(g[2] for g in geos)))
+        if walk_variant_covers(cand, matrices, vol_shape, interpolation,
+                               mode):
+            return cand
+    return None
+
+
+def plan_batch_sampler(plan: Plan, n: int, cval: float = 0.0):
+    """A callable ``(prepared, payloads[n]) -> outputs[n]`` resolving a
+    stack of n same-group matrices.
+
+    Walk plans use the grid-batched kernel -- ONE pallas launch whose grid
+    has a leading matrix dimension and whose per-matrix geometry rides in
+    SMEM payloads -- composed eagerly with the cached un-blocker, so the
+    Mosaic binary is shared across every group with the same canonical
+    form.  Select-tree plans map their per-variant kernel inside one jit."""
+    import jax
+
+    if isinstance(plan, WalkVariant):
+        from .pallas_walk import (_unblocker, _walk_runner,
+                                  canonical_walk_variant)
+        vc = canonical_walk_variant(plan)
+        runner = _walk_runner(vc, float(cval), False, n)
+        unblock = _unblocker(plan.out_d, plan.vb, plan.wb, plan.gu,
+                             plan.gv, plan.po, n)
+
+        def run(prepared, payloads):
+            return unblock(runner(prepared, payloads))
+
+        return run
+
+    def run_tree(prepared, matrices):
+        return jax.lax.map(
+            lambda m: affine_sample_pallas_variant(prepared, m, plan, cval),
+            matrices)
+
+    return jax.jit(run_tree)
+
+
+def plan_payload(matrix, plan: Plan):
+    """Per-matrix kernel input: the permuted matrix + runtime payload for
+    walk plans, the raw matrix otherwise."""
+    if isinstance(plan, WalkVariant):
+        from .pallas_walk import permute_matrix
+        return permute_matrix(matrix, plan)
+    import jax.numpy as jnp
+    return jnp.asarray(matrix, jnp.float32)
 
 
 def plan_sampler(plan: Plan, cval: float = 0.0):

@@ -39,6 +39,21 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "shard"):
     return Mesh(np.array(devices[:n_devices]), (axis_name,))
 
 
+
+
+def _shard_map(body, mesh, in_specs, out_specs):
+    """shard_map with the varying-mesh-axes check disabled: pallas_call
+    outputs carry no vma annotation, which the checker (new jax.shard_map)
+    would reject.  Falls back to the experimental API on older jax."""
+    import jax
+    if hasattr(jax, "shard_map"):
+        return jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    from jax.experimental.shard_map import shard_map
+    return shard_map(body, mesh=mesh, in_specs=in_specs,
+                     out_specs=out_specs)
+
+
 def halo_for_matrix(shape, matrix, interpolation: str = "linear") -> Optional[int]:
     """Voxels of axis-0 halo needed so each output slab can be computed from
     its own source slab.  None when the transform is non-local (needs the
@@ -91,24 +106,108 @@ class ShardedVolume:
         self.cval = float(cval)
         self.shape = tuple(data.shape)
 
-        vol = jnp.asarray(data, jnp.float32)
         from ..ops.interpolation import needs_prefilter
-        if needs_prefilter(interpolation):
-            from ..ops.prefilter import bspline_prefilter
-            vol = jax.jit(bspline_prefilter)(vol)
+        from ..ops.prefilter import _FIR_HALF_WIDTH
         sharding = NamedSharding(self.mesh, P(self.axis_name))
-        self.data = jax.device_put(vol, sharding)
+        local = data.shape[0] // n
+        if not needs_prefilter(interpolation):
+            self.data = jax.device_put(jnp.asarray(data, jnp.float32),
+                                       sharding)
+        elif local > _FIR_HALF_WIDTH:
+            # shard FIRST, prefilter shard-wise: axes 1/2 are local; the
+            # axis-0 pass exchanges an 18-plane halo over ICI.  The full
+            # volume never materialises on one device (construction no
+            # longer needs the whole volume in a single HBM).
+            raw = jax.device_put(jnp.asarray(data, jnp.float32), sharding)
+            self.data = self._sharded_prefilter(raw)
+        else:
+            # slabs thinner than the filter support: fall back to a global
+            # prefilter before sharding
+            from ..ops.prefilter import bspline_prefilter
+            vol = jax.jit(bspline_prefilter)(jnp.asarray(data, jnp.float32))
+            self.data = jax.device_put(vol, sharding)
         self._samplers = {}
+
+    def _sharded_prefilter(self, raw):
+        """B-spline prefilter under shard_map: per-shard FIR along the two
+        local axes; the sharded axis runs the same truncated inverse filter
+        as :func:`..ops.prefilter.prefilter_fir` against an 18-plane halo
+        exchanged over ICI (mirror-extended at the global edges), which is
+        the FIR equivalent of the reference's serial z-pass
+        (``bspline.h:58-99``) without gathering the volume."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        from ..ops.prefilter import _FIR_HALF_WIDTH, POLE, prefilter_fir
+
+        axis = self.axis_name
+        n = self.mesh.devices.size
+        k = _FIR_HALF_WIDTH
+        taps = jnp.asarray(
+            np.sqrt(3.0) * POLE ** np.abs(np.arange(-k, k + 1,
+                                                    dtype=np.float64)),
+            jnp.float32)
+
+        def body(local_vol):
+            idx = jax.lax.axis_index(axis)
+            up = jax.lax.ppermute(local_vol[-k:], axis,
+                                  [(i, (i + 1) % n) for i in range(n)])
+            down = jax.lax.ppermute(local_vol[:k], axis,
+                                    [(i, (i - 1) % n) for i in range(n)])
+            # mirror extension at the global edges (matches _fir_matrix)
+            bottom_ext = jnp.flip(local_vol[1:k + 1], 0)
+            top_ext = jnp.flip(local_vol[-k - 1:-1], 0)
+            up = jnp.where(idx == 0, bottom_ext, up)
+            down = jnp.where(idx == n - 1, top_ext, down)
+            ext = jnp.concatenate([up, local_vol, down], axis=0)
+            loc = local_vol.shape[0]
+            out = sum(taps[t] * jax.lax.dynamic_slice_in_dim(ext, t, loc, 0)
+                      for t in range(2 * k + 1))
+            out = prefilter_fir(out, 1)
+            return prefilter_fir(out, 2)
+
+        fn = jax.jit(_shard_map(body, mesh=self.mesh, in_specs=P(axis),
+                                out_specs=P(axis)))
+        return fn(raw)
 
     # -------------------------------------------------------------- samplers
 
-    def _get_sampler(self, halo: Optional[int]):
+    def _plan_for(self, transform_m, halo: Optional[int]):
+        """Pallas kernel plan for the per-device local computation, or None
+        on non-TPU backends (the CPU-emulated mesh runs the XLA bodies).
+
+        The per-device matrices differ only by slab-offset translations, so
+        one plan chosen for the n-matrix envelope serves every chip."""
+        from ..transforms import _pick_impl
+        if _pick_impl(self.mesh.devices.flat[0]) != "pallas":
+            return None
+        from ..kernels.planner import choose_plan
+        n = self.mesh.devices.size
+        local = self.shape[0] // n
+        m = np.asarray(transform_m, np.float64)
+        out_shape = (local,) + self.shape[1:]
+        ms = []
+        for i in range(n):
+            shift_out = np.eye(4)
+            shift_out[0, 3] = i * local
+            if halo is None:
+                ms.append(m @ shift_out)
+            else:
+                shift_src = np.eye(4)
+                shift_src[0, 3] = halo - i * local
+                ms.append(shift_src @ m @ shift_out)
+        src_shape = (self.shape if halo is None
+                     else (local + 2 * halo,) + self.shape[1:])
+        return choose_plan(np.stack(ms), src_shape, self.interpolation,
+                           self.mode, out_shape=out_shape)
+
+    def _get_sampler(self, halo: Optional[int], plan=None):
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
 
-        key = halo
+        key = (halo, plan)
         if key in self._samplers:
             return self._samplers[key]
 
@@ -120,18 +219,84 @@ class ShardedVolume:
         local = d0 // n
         from ..ops.sampling import affine_sample
 
-        if halo is None:
+        if halo is None and plan is not None:
+            from ..kernels.planner import plan_sample
+
+            def body(vol_shard, matrix):
+                # global transform, pallas: gather the source over ICI and
+                # run the planner's kernel on this chip's output slab (the
+                # matrix carries the slab shift)
+                full = jax.lax.all_gather(vol_shard, axis, axis=0,
+                                          tiled=True)
+                idx = jax.lax.axis_index(axis)
+                start = (idx * local).astype(jnp.float32)
+                # exact f32 shift composition (a jnp matmul would run at
+                # bf16 matmul precision on TPU and shred the matrix)
+                m_dev = matrix.at[:, 3].add(matrix[:, 0] * start)
+                return plan_sample(full, m_dev, plan, cval)
+        elif halo is None:
             def body(vol_shard, matrix):
                 # global transform: gather the full source volume over ICI,
                 # compute only this chip's output slab
                 full = jax.lax.all_gather(vol_shard, axis, axis=0, tiled=True)
                 idx = jax.lax.axis_index(axis)
-                shift_m = jnp.eye(4, dtype=jnp.float32).at[0, 3].set(
-                    (idx * local).astype(jnp.float32))
+                start = (idx * local).astype(jnp.float32)
+                # exact f32 shift composition (a jnp matmul would run at
+                # bf16 matmul precision on TPU and shred the matrix)
+                m_dev = matrix.at[:, 3].add(matrix[:, 0] * start)
                 out_shape = (local,) + self.shape[1:]
-                return affine_sample(full, matrix @ shift_m, interp, mode,
+                return affine_sample(full, m_dev, interp, mode,
                                      cval, prefiltered=True,
                                      out_shape=out_shape)
+        elif plan is not None:
+            from ..kernels.planner import plan_sample
+
+            def body(vol_shard, matrix):
+                # local transform, pallas: halo-exchange over ICI, run the
+                # planner's kernel on the extended slab, then re-mask the
+                # sharded axis in the GLOBAL frame (the kernel's own
+                # inside test sees only the extended-slab frame)
+                idx = jax.lax.axis_index(axis)
+                up = jax.lax.ppermute(
+                    vol_shard[-halo:], axis,
+                    [(i, (i + 1) % n) for i in range(n)])
+                down = jax.lax.ppermute(
+                    vol_shard[:halo], axis,
+                    [(i, (i - 1) % n) for i in range(n)])
+                if mode == "border":
+                    bottom_ext = jnp.zeros_like(up)
+                    top_ext = jnp.zeros_like(down)
+                else:
+                    bottom_ext = jnp.flip(vol_shard[1:halo + 1], 0)
+                    top_ext = jnp.flip(vol_shard[-halo - 1:-1], 0)
+                up = jnp.where(idx == 0, bottom_ext, up)
+                down = jnp.where(idx == n - 1, top_ext, down)
+                ext = jnp.concatenate([up, vol_shard, down], axis=0)
+
+                start = (idx * local).astype(jnp.float32)
+                # exact f32 shift composition (a jnp matmul would run at
+                # bf16 matmul precision on TPU and shred the matrix):
+                # out-shift folds into column 3 via column 0; the source
+                # z-shift adds to row 0's translation
+                m_glob = matrix.at[:, 3].add(matrix[:, 0] * start)
+                m_ext = m_glob.at[0, 3].add(jnp.float32(halo) - start)
+                out = plan_sample(ext, m_ext, plan, cval)
+
+                # global-frame z mask (y/x are unsharded: the kernel's own
+                # masking already matches the global frame there)
+                zi = jax.lax.broadcasted_iota(
+                    jnp.float32, out.shape, 0)
+                yi = jax.lax.broadcasted_iota(
+                    jnp.float32, out.shape, 1)
+                xi = jax.lax.broadcasted_iota(
+                    jnp.float32, out.shape, 2)
+                zsrc = (m_glob[0, 0] * zi + m_glob[0, 1] * yi
+                        + m_glob[0, 2] * xi + m_glob[0, 3])
+                if mode == "border":
+                    inside = (zsrc > -0.5) & (zsrc < d0 - 0.5)
+                else:
+                    inside = (zsrc >= 0) & (zsrc <= d0 - 1)
+                return jnp.where(inside, out, jnp.float32(cval))
         else:
             from ..ops.sampling import affine_coords
             from ..ops.interpolation import sample as sample_at_coords
@@ -164,8 +329,9 @@ class ShardedVolume:
                 # by this chip's slab start)
                 out_shape = (local,) + self.shape[1:]
                 start = (idx * local).astype(jnp.float32)
-                shift_out = jnp.eye(4, dtype=jnp.float32).at[0, 3].set(start)
-                coords = affine_coords(out_shape, matrix @ shift_out)
+                # exact f32 out-shift (avoids TPU bf16 matmul precision)
+                m_dev = matrix.at[:, 3].add(matrix[:, 0] * start)
+                coords = affine_coords(out_shape, m_dev)
                 # sample in the extended-slab frame ...
                 ext_coords = coords.at[0].add(jnp.float32(halo) - start)
                 out = sample_at_coords(ext, ext_coords, interp, mode, cval,
@@ -178,9 +344,9 @@ class ShardedVolume:
                     inside = ((coords[0] >= 0) & (coords[0] <= d0 - 1))
                 return jnp.where(inside, out, jnp.float32(cval))
 
-        fn = shard_map(body, mesh=mesh,
-                       in_specs=(P(axis), P()),
-                       out_specs=P(axis))
+        fn = _shard_map(body, mesh=mesh,
+                        in_specs=(P(axis), P()),
+                        out_specs=P(axis))
         fn = jax.jit(fn)
         self._samplers[key] = fn
         return fn
@@ -194,7 +360,8 @@ class ShardedVolume:
         local = self.shape[0] // self.mesh.devices.size
         if halo is not None and halo + 1 > local:
             halo = None  # halo would exceed the slab; use the gather path
-        fn = self._get_sampler(halo)
+        plan = self._plan_for(transform_m, halo)
+        fn = self._get_sampler(halo, plan)
         result = fn(self.data, jnp.asarray(transform_m, jnp.float32))
         if isinstance(output, str) and output == "device":
             return result

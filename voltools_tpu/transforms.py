@@ -185,6 +185,7 @@ class PerformanceFallbackWarning(RuntimeWarning):
 
 
 _RECENT_VARIANTS: list = []   # small MRU of compiled kernel configs
+_PLAN_CACHE: dict = {}        # exact-matrix plan memo (repeated sweeps)
 _VARIANT_LOCK = threading.Lock()
 _LAST_DISPATCH = threading.local()
 
@@ -201,7 +202,8 @@ def last_dispatch():
     return getattr(_LAST_DISPATCH, "info", None)
 
 
-def select_variant(transform_m, vol_shape, interpolation, mode, device):
+def select_variant(transform_m, vol_shape, interpolation, mode, device,
+                   out_shape=None):
     """Host-side pallas kernel config for a concrete matrix, or None.
 
     Recently-compiled variants are reused when their envelope covers the
@@ -213,15 +215,45 @@ def select_variant(transform_m, vol_shape, interpolation, mode, device):
                          reason="non-TPU backend")
         return None
     try:
+        from .kernels.pallas_affine import Variant, variant_cost
         from .kernels.planner import choose_plan, plan_covers
         m = np.asarray(transform_m, np.float64)
+        # exact-matrix memo: repeated sweeps (tilt series per tomogram,
+        # benchmark loops) skip planning entirely on the second pass
+        mkey = (m.tobytes(), tuple(vol_shape), interpolation, mode,
+                None if out_shape is None else tuple(out_shape))
         with _VARIANT_LOCK:
-            for cached in _RECENT_VARIANTS:
-                if plan_covers(cached, m, vol_shape, interpolation, mode):
-                    _record_dispatch(impl="pallas", variant=cached,
-                                     reason="cached variant envelope")
-                    return cached
-        variant = choose_plan(m, vol_shape, interpolation, mode)
+            if mkey in _PLAN_CACHE:
+                cached = _PLAN_CACHE[mkey]
+                _record_dispatch(impl="pallas" if cached is not None
+                                 else "xla", variant=cached,
+                                 reason="memoized plan")
+                return cached
+        variant = choose_plan(m, vol_shape, interpolation, mode,
+                              out_shape=out_shape)
+        if isinstance(variant, Variant):
+            # cost-gated reuse for select-tree variants: a cached envelope
+            # that covers the matrix may still scan a much larger window
+            # than the tight optimum, so reuse only within 1.35x of it
+            # (walk plans handle reuse inside choose_plan via sticky fits)
+            budget = 1.35 * variant_cost(variant)
+            with _VARIANT_LOCK:
+                for cached in _RECENT_VARIANTS:
+                    if (isinstance(cached, Variant)
+                            and variant_cost(cached) <= budget
+                            and plan_covers(cached, m, vol_shape,
+                                            interpolation, mode,
+                                            out_shape=out_shape)):
+                        _record_dispatch(impl="pallas", variant=cached,
+                                         reason="cached variant envelope")
+                        _PLAN_CACHE[mkey] = cached
+                        if len(_PLAN_CACHE) > 4096:
+                            _PLAN_CACHE.clear()
+                        return cached
+        with _VARIANT_LOCK:
+            _PLAN_CACHE[mkey] = variant
+            if len(_PLAN_CACHE) > 4096:
+                _PLAN_CACHE.clear()
         if variant is not None:
             with _VARIANT_LOCK:
                 _RECENT_VARIANTS.append(variant)
@@ -271,10 +303,11 @@ def _affine_jax(volume, transform_m, interpolation, reshape, output,
         out_shape = tuple(int(d) for d in new_dims)
 
     vol = jax.device_put(jnp.asarray(volume, jnp.float32), device)
-    variant = None
-    if out_shape is None:
-        variant = select_variant(transform_m, vol.shape, interpolation, mode,
-                                 device)
+    # reshape runs through the same kernels: the variant is chosen for the
+    # enlarged output grid with the pad-shifted matrix (the reference ran
+    # its one kernel for reshape too, transforms.py:171-212 there)
+    variant = select_variant(transform_m, vol.shape, interpolation, mode,
+                             device, out_shape=out_shape)
     fn = _jitted_affine(interpolation, mode, float(cval), variant, device,
                         out_shape)
     result = fn(vol, jnp.asarray(transform_m))
