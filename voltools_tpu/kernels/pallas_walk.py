@@ -59,13 +59,15 @@ _MAX_HY = 32           # tallest per-plane y band (4 candidate sub-vregs)
 _SLOP_LIMIT = 6.0      # |x| drift across the 8 sublanes (dx slots cover it)
 _VMEM_BUDGET = 11 << 20
 _PACKINGS = ((1, 128), (2, 64), (4, 32), (8, 16))
-_MACROS = ((1, 8), (2, 4), (1, 4), (2, 2), (4, 2))
+_MACROS = ((1, 8), (2, 4), (1, 4), (2, 2), (4, 2),
+           (2, 8), (4, 4), (8, 2), (4, 8), (8, 4))
 
 # Parameter quantization ladders.  A compiled kernel depends on the variant's
 # geometric parameters but NOT on the axis permutations (ps/po only permute
 # host-side data movement), so rounding parameters up to a coarse ladder
 # makes nearby matrices -- e.g. consecutive random rotations in a sweep --
 # share one Mosaic binary instead of recompiling per angle.
+_PIPELINE_DEPTH = 2   # in-flight window slots (scratch + kernel agree)
 _HZ_STEP = 4
 _W_STEP = 8
 _YLO_STEP = 4
@@ -351,7 +353,7 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
     xg = np.where(dyn, 32, 128)                       # (36, P, M)
     xw = np.where(dyn, 128, dx_pad[:, None, None])
     nbw = xw // 128
-    win_bytes = 2 * w0[:, None] * w1 * xw[:, None] * 4
+    win_bytes = _PIPELINE_DEPTH * w0[:, None] * w1 * xw[:, None] * 4
     ok = ok0[..., None] & (hy[..., None] <= w1) & (win_bytes <= _VMEM_BUDGET)
 
     best = None
@@ -600,7 +602,7 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False,
     constant = v.mode == "constant"
     ycand = v.ycand
     wsh = wb.bit_length() - 1   # wb is a power of two
-    depth = 2
+    depth = _PIPELINE_DEPTH
 
     if interpret:
         # XLA:CPU may rematerialize a scalar floor() into several fusions
@@ -1059,9 +1061,10 @@ def _walk_runner(vc: WalkVariant, cval: float, interpret: bool,
             out_specs=pl.BlockSpec(block, index_map,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
-            scratch_shapes=[pltpu.VMEM((2, v.nbw, v.w0, v.w1, 128),
-                                       jnp.float32),
-                            pltpu.SemaphoreType.DMA((2, v.nbw))],
+            scratch_shapes=[pltpu.VMEM((_PIPELINE_DEPTH, v.nbw, v.w0,
+                                        v.w1, 128), jnp.float32),
+                            pltpu.SemaphoreType.DMA(
+                                (_PIPELINE_DEPTH, v.nbw))],
             interpret=interpret,
         )(cols, vol_s)
 
