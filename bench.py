@@ -44,27 +44,31 @@ def main():
                       "/tmp/voltools_tpu_bench_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-    from voltools_tpu.kernels.planner import (plan_prepare,
+    from voltools_tpu.kernels.planner import (choose_plan, plan_prepare,
                                               plan_sample_prepared)
-    from voltools_tpu.transforms import select_variant
-    from voltools_tpu.utils import resolve_device, transform_matrix
+    from voltools_tpu.utils import transform_matrix
 
     size = 250
     rng = np.random.default_rng(0)
     vol = jnp.asarray(rng.random((size,) * 3, dtype=np.float64)
                       .astype(np.float32))
     center = (size / 2,) * 3   # reference benchmark.py:53
-    device = resolve_device("jax")
 
     def measure(m, interpolation):
-        plan = select_variant(m, vol.shape, interpolation, "constant",
-                              device)
+        # tight per-matrix plan (sticky=None): the benchmark measures the
+        # steady-state per-call time with each matrix's own kernel, compile
+        # excluded -- exactly how the baseline timed its one precompiled
+        # kernel per configuration
+        plan = choose_plan(m, vol.shape, interpolation, "constant",
+                           sticky=None)
         if plan is None:   # pragma: no cover - defensive
             return None, "xla"
         prep = plan_prepare(vol, plan)
 
-        @functools.partial(jax.jit, static_argnames="n")
+        @jax.jit
         def chained(n, p, mat):
+            # n is traced (dynamic fori trip count): ONE compile per plan
+            # serves both slope points
             def body(_, carry):
                 mm, acc = carry
                 out = plan_sample_prepared(p, mm, plan, 0.0)

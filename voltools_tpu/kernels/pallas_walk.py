@@ -104,6 +104,9 @@ class WalkVariant:
     slop_lo: int                 # x drift below the sublane-0 base, ceil'd
     slop_hi: int                 # x drift above it
     y_lo: int                    # signed y-band offset below the walk line
+    xpad: int = 0                # mirror planes added per x side (d covers
+                                 # them): lets constant-cubic taps stay in
+                                 # range without extra mirror gather slots
 
     @property
     def nbw(self) -> int:
@@ -138,8 +141,9 @@ class WalkVariant:
     def dxs(self):
         lo = self.taps[0] - self.slop_lo
         hi = self.taps[-1] + self.slop_hi
-        if self.order == 3 and self.mode == "constant":
+        if self.order == 3 and self.mode == "constant" and self.xpad == 0:
             # mirrored x taps can jump one slot past the drift near edges
+            # (unpadded layouts only; mirror-padded x never leaves range)
             lo -= 1
             hi += 1
         return tuple(range(lo, hi + 1))
@@ -297,17 +301,17 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
     resM = np.abs(geo["res"]).max(1)                  # (36, 4, 3)
 
     # permutation-dependent dims
+    xpad = 2 if (order == 3 and mode == "constant") else 0
     d0 = np.array([vol_shape[ps[0]] for ps in _PERMS for _ in _PERMS])
     d1 = np.array([vol_shape[ps[1]] for ps in _PERMS for _ in _PERMS])
-    d2 = np.array([vol_shape[ps[2]] for ps in _PERMS for _ in _PERMS])
+    d2 = np.array([vol_shape[ps[2]] + 2 * xpad
+                   for ps in _PERMS for _ in _PERMS])
     o0 = np.array([out_shape[po[0]] for _ in _PERMS for po in _PERMS])
     o1 = np.array([out_shape[po[1]] for _ in _PERMS for po in _PERMS])
     o2 = np.array([out_shape[po[2]] for _ in _PERMS for po in _PERMS])
     dx_pad = ((d2 + 127) // 128) * 128
     nvregs = (o0 * o1 * o2) / 1024.0
     ndx0 = ntaps + slop_lo + slop_hi
-    if order == 3 and mode == "constant":
-        ndx0 = ndx0 + 2
 
     # fully-vectorized search over C=36 perms x K=4 kax x P packings x M
     # macros (one pass of medium-sized numpy arrays, ~1 ms host time)
@@ -386,7 +390,8 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
             xg=int(xg[pq, pi, mi]), xw=int(xw[pq, pi, mi]),
             out_d=(int(o0[pq]), int(o1[pq]), int(o2[pq])),
             order=order, mode=mode, slop_lo=int(slop_lo[pq]),
-            slop_hi=int(slop_hi[pq]), y_lo=int(y_lo[pq, ki, pi]))
+            slop_hi=int(slop_hi[pq]), y_lo=int(y_lo[pq, ki, pi]),
+            xpad=xpad)
     if best is not None and not walk_variant_covers(
             best, matrices, vol_shape, interpolation, mode,
             out_shape=out_shape):
@@ -423,7 +428,8 @@ def walk_variant_covers(v: WalkVariant, matrix, vol_shape,
         return False
     if out_shape is None:
         out_shape = vol_shape
-    if tuple(vol_shape[v.ps[k]] for k in range(3)) != v.d:
+    if (vol_shape[v.ps[0]], vol_shape[v.ps[1]],
+            vol_shape[v.ps[2]] + 2 * v.xpad) != v.d:
         return False
     if tuple(out_shape[v.po[k]] for k in range(3)) != v.out_d:
         return False
@@ -533,7 +539,9 @@ def fit_walk_variant(matrix, vol_shape, interpolation: str, mode: str,
                    + tapspan + 4 + (K.hz - hz_m))
         need_w1 = (np.ceil(resM @ E + kapM * (K.w0 + 1.0)).astype(np.int64)
                    + 3 + K.hy)                           # (36, 4)
-        ok = ((dims == K.d).all(1) & (odims == K.out_d).all(1)
+        dims_ok = ((dims[:, 0] == K.d[0]) & (dims[:, 1] == K.d[1])
+                   & (dims[:, 2] + 2 * K.xpad == K.d[2]))
+        ok = (dims_ok & (odims == K.out_d).all(1)
               & (hz_m <= K.hz) & (slop_lo <= K.slop_lo)
               & (slop_hi <= K.slop_hi)
               & (np.minimum(need_w0, dims[:, 0]) <= K.w0))[:, None]
@@ -600,6 +608,8 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False,
     order = v.order
     ntaps = len(taps)
     constant = v.mode == "constant"
+    use_mirror = constant and order == 3 and v.xpad == 0
+    xpad = v.xpad
     ycand = v.ycand
     wsh = wb.bit_length() - 1   # wb is a power of two
     depth = _PIPELINE_DEPTH
@@ -806,7 +816,7 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False,
             def x_tap(t):
                 idx = x0 + t
                 if constant:
-                    if order == 3:
+                    if use_mirror:
                         return _mirror(idx, d2), None
                     return jnp.clip(idx, 0, d2 - 1), None
                 valid = (idx >= 0) & (idx < d2)
@@ -833,7 +843,7 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False,
             for dx in dxs:
                 acc = jnp.zeros((8, 128), jnp.float32)
                 for ix, (xt, xvalid) in enumerate(xtaps):
-                    if constant and order == 3:
+                    if use_mirror:
                         dxp = xt - xb
                     else:
                         dxp = dxneed + taps[ix]
@@ -934,7 +944,8 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False,
 
             if constant:
                 inside = ((zf >= 0) & (zf <= d0 - 1) & (yf >= 0)
-                          & (yf <= d1 - 1) & (xf >= 0) & (xf <= d2 - 1))
+                          & (yf <= d1 - 1) & (xf >= xpad)
+                          & (xf <= d2 - 1 - xpad))
             else:
                 inside = ((zf > -0.5) & (zf < d0 - 0.5) & (yf > -0.5)
                           & (yf < d1 - 0.5) & (xf > -0.5) & (xf < d2 - 0.5))
@@ -955,7 +966,7 @@ def walk_layout_key(v: WalkVariant):
     """Hashable description of the HBM source layout a variant samples from;
     variants with equal keys can share one prepared volume (lets resident
     sweeps cache the transpose/pad/stack across angle steps)."""
-    return (v.ps, v.d, v.xg, v.nbk)
+    return (v.ps, v.d, v.xg, v.nbk, v.xpad)
 
 
 @functools.lru_cache(maxsize=64)
@@ -965,11 +976,17 @@ def _preparer(layout_key):
     import jax
     import jax.numpy as jnp
 
-    ps, d, xg, nbk = layout_key
+    ps, d, xg, nbk, xpad = layout_key
     ncopies = 128 // xg
 
     def prepare(volume):
         vol_p = jnp.transpose(jnp.asarray(volume, jnp.float32), ps)
+        if xpad:
+            # mirror extension (reflect, edge not repeated: matches
+            # _mirror_index) so cubic taps never leave the array
+            vol_p = jnp.concatenate(
+                [vol_p[..., 1:xpad + 1][..., ::-1], vol_p,
+                 vol_p[..., -xpad - 1:-1][..., ::-1]], axis=-1)
         x_pad = nbk * 128 + (ncopies - 1) * xg
         if x_pad > d[2]:
             vol_p = jnp.pad(vol_p, ((0, 0), (0, 0), (0, x_pad - d[2])))
@@ -1111,6 +1128,10 @@ def permute_matrix(matrix, v: WalkVariant):
     rows = jnp.stack([m[v.ps[k]] for k in range(3)])
     cols = jnp.stack([rows[:, v.po[j]] for j in range(3)] + [rows[:, 3]],
                      axis=1)
+    if v.xpad:
+        # mirror-padded x layout: kernel x coordinates live in the padded
+        # frame (the structural xpad adjusts its inside bounds to match)
+        cols = cols.at[2, 3].add(jnp.float32(v.xpad))
     if v.kax < 0:
         kappa = jnp.float32(0.0)
     else:

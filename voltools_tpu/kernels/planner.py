@@ -35,20 +35,23 @@ Plan = Union[Variant, WalkVariant]
 
 
 def choose_plan(matrix, vol_shape, interpolation: str,
-                mode: str = "constant", out_shape=None) -> Optional[Plan]:
+                mode: str = "constant", out_shape=None,
+                sticky: Optional[float] = 3.0) -> Optional[Plan]:
     """Pick a kernel plan for ``matrix`` ((4,4) or (N,4,4) envelope).
 
     The walk chooser is seeded with the already-compiled canonical forms so
     orientation sweeps stick to existing Mosaic binaries when one is within
-    a modest cost factor of the per-matrix optimum."""
+    ``sticky`` x the per-matrix optimum's modeled cost (a Mosaic compile
+    costs ~13 s, so reuse wins for sweeps up to thousands of calls).  Pass
+    ``sticky=None`` to always take the tight per-matrix optimum (steady-
+    state benchmarking; latency-insensitive long-running services)."""
     variant = choose_variant(matrix, vol_shape, interpolation, mode,
                              out_shape=out_shape)
     if variant is not None and variant.unroll:
         return variant
-    # sticky=3: a Mosaic compile costs ~13 s while a 2x-cost kernel costs
-    # ~15 ms extra per call -- reuse wins for any sweep under ~900 calls
+    known = known_canonicals() if sticky is not None else ()
     walk = choose_walk_variant(matrix, vol_shape, interpolation, mode,
-                               known=known_canonicals(), sticky=3.0,
+                               known=known, sticky=sticky or 1.0,
                                out_shape=out_shape)
     if walk is not None:
         return walk
