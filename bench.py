@@ -21,7 +21,6 @@ per-transform device time.  Kernel compilation is excluded, as in the
 baseline (its kernel was compiled once before its timed loop).
 """
 
-import functools
 import json
 import sys
 import time

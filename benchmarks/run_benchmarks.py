@@ -44,7 +44,9 @@ def wall_ms(fn, repeats=5):
 
 
 def slope_ms(plan, prep, m, cval, iters=8):
-    """Device ms per application of ``plan`` (chained-slope method)."""
+    """Device ms per application of ``plan`` (chained-slope method).
+    Tiny volumes need many chained iterations for the slope to rise above
+    timer noise."""
     import jax
     import jax.numpy as jnp
 
@@ -139,7 +141,8 @@ def main():
                 slopes.append(float("nan"))
                 continue
             prep = sv._prepared_source(plan)
-            slopes.append(slope_ms(plan, prep, m, sv.cval))
+            slopes.append(slope_ms(plan, prep, m, sv.cval,
+                                   iters=64 if size <= 50 else 8))
         t_static_out = float(np.nanmean(slopes))
 
         sv.affine_batch(ms, output="device")   # compile warmup
