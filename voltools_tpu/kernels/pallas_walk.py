@@ -12,7 +12,8 @@ output patch, whose source-space image crosses only ``hz`` z-planes; within
 one z-plane the active elements' y coordinates concentrate in a narrow band
 (``hy`` rows) around a per-plane line ``y_line(z)``.  Per output vreg we:
 
-* walk the ``hz`` source z-planes of the footprint (``fori_loop``);
+* walk the ``hz`` source z-planes of the footprint (fully unrolled when
+  compiled; ``fori_loop`` under the interpreter);
 * per plane, read ``hy`` rows at a scalar, data-dependent y offset
   (``pl.ds`` on a non-minor window dim — the one dynamic-origin access
   TPUs do cheaply);
