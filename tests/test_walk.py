@@ -192,11 +192,12 @@ def test_walk_covers_reuses_envelope(volume):
 
 
 def test_planner_tiers(volume):
-    # axis-dominant -> unrolled select-tree kernel
+    # the walk kernel serves every regime where its bands fit -- including
+    # axis-dominant matrices (measured faster than the select-tree there)
     m_axis = transform_matrix(rotation=(0, 60, 0), rotation_order="sxyz",
                               center=tuple(s / 2 for s in volume.shape))
     plan = choose_plan(m_axis, volume.shape, "linear")
-    assert isinstance(plan, Variant) and plan.unroll
+    assert isinstance(plan, WalkVariant)
 
     # fully-3D rotation at a size where the select-tree window explodes ->
     # the plane-walk kernel

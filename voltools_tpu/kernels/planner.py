@@ -12,10 +12,13 @@ reference's single CUDA kernel leaned on the texture unit for both —
   the z-planes of the footprint; cost is O(planes x taps), independent of
   how slanted the footprint is.
 
-The planner tiers them: an *unrolled* affine variant (the fast, small-window
-tier) wins when it exists; otherwise the plane walk; otherwise the affine
-kernel's fori-loop tier (bigger slabs, slower but still far ahead of XLA's
-gather path); otherwise ``None`` and the caller falls back to XLA.
+The planner tiers them: the plane walk wins whenever a walk variant exists
+(measured faster than the select-tree across every regime and size where
+both apply -- e.g. 250^3 translate 2.2 vs 5.4 ms, single-axis cubic 10.9 vs
+29.4 ms; its per-vreg work scales with the footprint's plane count rather
+than the window's row count); the select-tree covers what the walk can't
+(volumes too small for its bands, plus its fori-loop tier for odd shapes);
+otherwise ``None`` and the caller falls back to XLA.
 """
 
 from __future__ import annotations
@@ -45,17 +48,14 @@ def choose_plan(matrix, vol_shape, interpolation: str,
     costs ~13 s, so reuse wins for sweeps up to thousands of calls).  Pass
     ``sticky=None`` to always take the tight per-matrix optimum (steady-
     state benchmarking; latency-insensitive long-running services)."""
-    variant = choose_variant(matrix, vol_shape, interpolation, mode,
-                             out_shape=out_shape)
-    if variant is not None and variant.unroll:
-        return variant
     known = known_canonicals() if sticky is not None else ()
     walk = choose_walk_variant(matrix, vol_shape, interpolation, mode,
                                known=known, sticky=sticky or 1.0,
                                out_shape=out_shape)
     if walk is not None:
         return walk
-    return variant
+    return choose_variant(matrix, vol_shape, interpolation, mode,
+                          out_shape=out_shape)
 
 
 def plan_covers(plan: Plan, matrix, vol_shape, interpolation: str,
