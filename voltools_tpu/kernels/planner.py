@@ -118,22 +118,15 @@ def plan_cost(plan: Plan) -> float:
     return variant_cost(plan)
 
 
-def refit_to_group(rep: Plan, own: Plan, matrix, vol_shape,
-                   interpolation: str,
-                   mode: str = "constant") -> Optional[Plan]:
-    """Re-plan ``matrix`` onto ``rep``'s exact execution group (same Mosaic
-    binary AND same data layout), adjusting only runtime payload fields.
-    ``own`` is the matrix's per-matrix optimal plan; rep must be the same
-    kind and within 1.35x of its cost (the gate keeps one big early group
-    from re-imposing the envelope penalty on every later matrix).  Returns
-    the adjusted plan, or None."""
+def fit_payload(rep: Plan, matrix, vol_shape, interpolation: str,
+                mode: str = "constant") -> Optional[Plan]:
+    """Adjust only the runtime payload fields (kax/y_lo) of ``rep`` so it
+    covers ``matrix`` under rep's exact binary and layout, or None."""
     import dataclasses
 
     from .pallas_affine import _adjusted_matrix
     from .pallas_walk import _KAXES, _geometry, walk_variant_covers
 
-    if type(rep) is not type(own) or plan_cost(rep) > 1.35 * plan_cost(own):
-        return None
     if not isinstance(rep, WalkVariant):
         if variant_covers(rep, matrix, vol_shape, interpolation, mode):
             return rep
@@ -155,6 +148,20 @@ def refit_to_group(rep: Plan, own: Plan, matrix, vol_shape,
                                mode):
             return cand
     return None
+
+
+def refit_to_group(rep: Plan, own: Plan, matrix, vol_shape,
+                   interpolation: str,
+                   mode: str = "constant") -> Optional[Plan]:
+    """Re-plan ``matrix`` onto ``rep``'s exact execution group (same Mosaic
+    binary AND same data layout), adjusting only runtime payload fields.
+    ``own`` is the matrix's per-matrix optimal plan; rep must be the same
+    kind and within 1.35x of its cost (the gate keeps one big early group
+    from re-imposing the envelope penalty on every later matrix).  Returns
+    the adjusted plan, or None."""
+    if type(rep) is not type(own) or plan_cost(rep) > 1.35 * plan_cost(own):
+        return None
+    return fit_payload(rep, matrix, vol_shape, interpolation, mode)
 
 
 def plan_batch_sampler(plan: Plan, n: int, cval: float = 0.0):

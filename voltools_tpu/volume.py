@@ -173,11 +173,30 @@ class StaticVolume:
                                       plan_payload)
         from .transforms import select_variant
 
-        from .kernels.planner import refit_to_group
+        from .kernels.planner import fit_payload, plan_cost, refit_to_group
+        from .kernels.pallas_walk import WalkVariant
 
         plans = [select_variant(m, self.shape, self.interpolation,
                                 self.mode, self._jdev)
                  for m in transform_ms]
+
+        # prefer ONE batch-wide envelope plan: smooth sweeps (tilt series)
+        # otherwise fragment across quantization boundaries into many small
+        # batched programs, each paying launch+compile overhead.  The
+        # envelope is accepted when its modeled cost is close to the mean
+        # of the per-matrix optima (true for single-axis sweeps; random
+        # orientation batches fail the envelope or the cost gate and fall
+        # through to per-matrix grouping with refits).
+        if all(isinstance(p, WalkVariant) for p in plans):
+            env = select_variant(transform_ms, self.shape,
+                                 self.interpolation, self.mode, self._jdev)
+            if isinstance(env, WalkVariant) and plan_cost(env) <= \
+                    1.5 * float(np.mean([plan_cost(p) for p in plans])):
+                fits = [fit_payload(env, m, self.shape, self.interpolation,
+                                    self.mode) for m in transform_ms]
+                if all(f is not None for f in fits):
+                    plans = fits
+
         # coalesce: per-matrix plan selection is free to pick any axis
         # permutation, which fragments groups; refit each matrix onto an
         # earlier group (same binary AND layout) when its geometry allows
@@ -248,8 +267,17 @@ class StaticVolume:
                         run = plan_batch_sampler(rep, size, self.cval)
                         self._variant_samplers[skey] = run
                 outs = run(prep, payloads)
-                for j, i in enumerate(chunk):
-                    results[i] = finalize(outs[j])
+                if chunk == list(range(chunk[0], chunk[0] + take)):
+                    # contiguous chunk: hand the whole stacked block to the
+                    # assembler (per-element slicing would dispatch one op
+                    # per matrix -- ~30 ms each through an RPC tunnel)
+                    results[chunk[0]] = ("block", take,
+                                         finalize(outs[:take]))
+                    for i in chunk[1:]:
+                        results[i] = ("inblock",)
+                else:
+                    for j, i in enumerate(chunk):
+                        results[i] = finalize(outs[j])
                 pos += take
         return results
 
@@ -311,6 +339,20 @@ class StaticVolume:
             np.copyto(output, result_np)
             return output
         import jax.numpy as jnp
+
+        def assemble(results, expand, concat):
+            parts = []
+            i = 0
+            while i < len(results):
+                r = results[i]
+                if isinstance(r, tuple) and r and r[0] == "block":
+                    parts.append(r[2])
+                    i += r[1]
+                else:
+                    parts.append(expand(r))
+                    i += 1
+            return parts[0] if len(parts) == 1 else concat(parts)
+
         timer = ProfileTimer() if profile else None
         if timer:
             timer.__enter__()
@@ -319,11 +361,14 @@ class StaticVolume:
             # group = one Mosaic binary + data layout; kappa/y_lo per matrix
             # ride in the runtime payload)
             if isinstance(output, str) and output == "device":
-                return jnp.stack(self._grouped_batch(transform_ms))
+                return assemble(self._grouped_batch(transform_ms),
+                                lambda r: jnp.expand_dims(r, 0),
+                                jnp.concatenate)
             # host return: materialize each chunk's results immediately so
             # the device never holds more than one chunk of output stack
-            result_np = np.stack(
-                self._grouped_batch(transform_ms, finalize=np.asarray))
+            result_np = assemble(
+                self._grouped_batch(transform_ms, finalize=np.asarray),
+                lambda r: r[None], np.concatenate)
         finally:
             if timer:
                 timer.__exit__(None, None, None)
