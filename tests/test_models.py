@@ -41,3 +41,47 @@ def test_projection_prefiltered_mode(cube_volume):
 def test_projection_validation(cube_volume):
     with pytest.raises(ValueError):
         TiltSeriesProjector(cube_volume[0], device="jax")
+
+
+def test_projector_walk_plan_interpret(monkeypatch):
+    """Round-2 TPU regression: when the planner preferred WalkVariant plans,
+    ``_projector_for`` fed them into the select-tree kernel and crashed with
+    ``AttributeError: 'WalkVariant' object has no attribute 'dx_pad'``.
+    Force a walk plan through the projector (interpret mode, no TPU) and
+    check the projections against the XLA vmap path."""
+    import jax.numpy as jnp
+
+    import voltools_tpu.transforms as vtt
+    from voltools_tpu.kernels.pallas_walk import (WalkVariant,
+                                                  choose_walk_variant)
+
+    rng = np.random.default_rng(7)
+    vol = rng.random((40, 48, 56)).astype(np.float32)
+    proj = TiltSeriesProjector(vol, interpolation="linear", device="jax")
+    proj._interpret = True
+    angles = [-20.0, 10.0]
+    ms = proj.tilt_matrices(angles, tilt_axis=1)
+
+    def force_walk(transform_m, vol_shape, interpolation, mode, device,
+                   out_shape=None):
+        v = choose_walk_variant(transform_m, vol_shape, interpolation, mode)
+        assert v is not None, "tilt sweep must admit a walk plan here"
+        return v
+
+    monkeypatch.setattr(vtt, "select_variant", force_walk)
+    stack = proj.project(angles, tilt_axis=1)
+    # the walk batched program must actually have served the call
+    assert any(isinstance(key[0][0], WalkVariant)
+               for key in proj._variant_projectors)
+
+    expected = np.asarray(proj._project_batch(proj.data, jnp.asarray(ms)))
+    # mask projection columns containing knife-edge voxels (interpret-mode
+    # f32 rematerialization can flip floor() there; see test_walk.py)
+    idx = np.indices(vol.shape, dtype=np.float64).reshape(3, -1)
+    for i, m in enumerate(ms):
+        src = np.asarray(m, np.float64)[:3, :3] @ idx + \
+            np.asarray(m, np.float64)[:3, 3:4]
+        near = (np.abs(src - np.round(src)) < 1e-4).any(axis=0)
+        col_ok = ~near.reshape(vol.shape).any(axis=proj.projection_axis)
+        err = np.abs(stack[i] - expected[i])
+        assert np.where(col_ok, err, 0.0).max() <= 1e-3

@@ -191,6 +191,20 @@ def test_walk_covers_reuses_envelope(volume):
                                    "constant")
 
 
+def test_walk_quasi2d_cubic_constant_no_crash():
+    """Quasi-2D volumes (an axis extent <= xpad) must not select a mirror-
+    padded x layout they cannot build (round-2 advisor finding: _preparer's
+    mirror slice came up short and the reshape crashed)."""
+    vol = np.random.default_rng(3).random((2, 64, 64)).astype(np.float32)
+    for shape in [(2, 64, 64), (64, 2, 64), (64, 64, 1)]:
+        v = np.random.default_rng(3).random(shape).astype(np.float32)
+        m = random_rotation(8, shape)
+        var = choose_walk_variant(m, shape, "bspline", "constant")
+        if var is not None:
+            assert shape[var.ps[2]] > var.xpad
+            prepare_walk_volume(v, var)   # must not raise
+
+
 def test_planner_tiers(volume):
     # the walk kernel serves every regime where its bands fit -- including
     # axis-dominant matrices (measured faster than the select-tree there)

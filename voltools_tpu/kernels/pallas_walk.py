@@ -47,6 +47,7 @@ from __future__ import annotations
 import functools
 import itertools
 import math
+import threading
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -313,6 +314,11 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
     dx_pad = ((d2 + 127) // 128) * 128
     nvregs = (o0 * o1 * o2) / 1024.0
     ndx0 = ntaps + slop_lo + slop_hi
+    if xpad:
+        # _preparer's mirror extension slices xpad planes off each x side;
+        # a raw x extent <= xpad (quasi-2D volume) can't supply them and
+        # would crash the reshape there — mask those permutations out
+        base_ok = base_ok & (d2 - 2 * xpad > xpad)
 
     # fully-vectorized search over C=36 perms x K=4 kax x P packings x M
     # macros (one pass of medium-sized numpy arrays, ~1 ms host time)
@@ -541,7 +547,8 @@ def fit_walk_variant(matrix, vol_shape, interpolation: str, mode: str,
         need_w1 = (np.ceil(resM @ E + kapM * (K.w0 + 1.0)).astype(np.int64)
                    + 3 + K.hy)                           # (36, 4)
         dims_ok = ((dims[:, 0] == K.d[0]) & (dims[:, 1] == K.d[1])
-                   & (dims[:, 2] + 2 * K.xpad == K.d[2]))
+                   & (dims[:, 2] + 2 * K.xpad == K.d[2])
+                   & (dims[:, 2] > K.xpad))
         ok = (dims_ok & (odims == K.out_d).all(1)
               & (hz_m <= K.hz) & (slop_lo <= K.slop_lo)
               & (slop_hi <= K.slop_hi)
@@ -1021,10 +1028,12 @@ def canonical_walk_variant(v: WalkVariant) -> WalkVariant:
 # canonical forms whose Mosaic binaries exist (newest last); the chooser's
 # sticky policy prefers these over fresh compiles
 _KNOWN_CANONICALS: list = []
+_CANON_LOCK = threading.Lock()
 
 
 def known_canonicals():
-    return tuple(_KNOWN_CANONICALS)
+    with _CANON_LOCK:
+        return tuple(_KNOWN_CANONICALS)
 
 
 @functools.lru_cache(maxsize=128)
@@ -1036,9 +1045,10 @@ def _walk_runner(vc: WalkVariant, cval: float, interpret: bool,
     dimension over a (batch, 4, 4) payload stack -- N matrices resolved in
     ONE launch with per-matrix SMEM payloads (the batched sweep the
     reference looped in Python, ``tests/benchmark.py:59-65``)."""
-    if vc not in _KNOWN_CANONICALS:
-        _KNOWN_CANONICALS.append(vc)
-        del _KNOWN_CANONICALS[:-64]
+    with _CANON_LOCK:
+        if vc not in _KNOWN_CANONICALS:
+            _KNOWN_CANONICALS.append(vc)
+            del _KNOWN_CANONICALS[:-64]
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl

@@ -164,7 +164,8 @@ def refit_to_group(rep: Plan, own: Plan, matrix, vol_shape,
     return fit_payload(rep, matrix, vol_shape, interpolation, mode)
 
 
-def plan_batch_sampler(plan: Plan, n: int, cval: float = 0.0):
+def plan_batch_sampler(plan: Plan, n: int, cval: float = 0.0,
+                       interpret: bool = False):
     """A callable ``(prepared, payloads[n]) -> outputs[n]`` resolving a
     stack of n same-group matrices.
 
@@ -179,7 +180,7 @@ def plan_batch_sampler(plan: Plan, n: int, cval: float = 0.0):
         from .pallas_walk import (_unblocker, _walk_runner,
                                   canonical_walk_variant)
         vc = canonical_walk_variant(plan)
-        runner = _walk_runner(vc, float(cval), False, n)
+        runner = _walk_runner(vc, float(cval), bool(interpret), n)
         unblock = _unblocker(plan.out_d, plan.vb, plan.wb, plan.gu,
                              plan.gv, plan.po, n)
 
@@ -190,7 +191,8 @@ def plan_batch_sampler(plan: Plan, n: int, cval: float = 0.0):
 
     def run_tree(prepared, matrices):
         return jax.lax.map(
-            lambda m: affine_sample_pallas_variant(prepared, m, plan, cval),
+            lambda m: affine_sample_pallas_variant(prepared, m, plan, cval,
+                                                   interpret=interpret),
             matrices)
 
     return jax.jit(run_tree)

@@ -68,29 +68,69 @@ class TiltSeriesProjector:
         self._project_batch = jax.jit(
             jax.vmap(project_one, in_axes=(None, 0)))
         self._variant_projectors = {}
+        self._prepared_layouts = {}
+        self._interpret = False   # test hook: run kernels interpreted
+
+    def _prepared_source(self, plan):
+        """The plan's prepared HBM source layout, cached per layout key (the
+        resident volume pays the transpose/pad/stack once per layout)."""
+        import jax
+
+        from ..kernels.planner import plan_layout_key, plan_prepare
+        key = plan_layout_key(plan)
+        if key is None:
+            return self.data
+        prep = self._prepared_layouts.get(key)
+        if prep is None:
+            prep = jax.jit(lambda vol: plan_prepare(vol, plan))(self.data)
+            self._prepared_layouts[key] = prep
+        return prep
 
     def _projector_for(self, ms_np):
-        """Kernel fast path when an envelope variant covers the tilt sweep."""
+        """Batched kernel fast path when an envelope plan covers the sweep.
+
+        Dispatches through the unified planner (walk OR select-tree plans —
+        feeding a :class:`WalkVariant` into the select-tree kernel was the
+        round-2 TPU crash), with per-matrix runtime payloads so the whole
+        tilt series shares one batched program.  Returns a callable
+        ``(volume, (N,4,4) numpy matrices) -> (N, H', W') projections``."""
+        from ..kernels import planner
         from ..transforms import select_variant
         from ..utils import resolve_device
-        variant = select_variant(ms_np, self.shape, self.interpolation,
-                                 self._mode, resolve_device(self._device))
-        if variant is None:
-            return self._project_batch
-        if variant not in self._variant_projectors:
-            import jax
+        import jax.numpy as jnp
+        env = select_variant(ms_np, self.shape, self.interpolation,
+                             self._mode, resolve_device(self._device))
+        if env is None:
+            return lambda vol, ms: self._project_batch(vol, jnp.asarray(ms))
+        # per-matrix payload plans on env's exact binary + layout (kax/y_lo
+        # are runtime payload for walk plans; identity for tree plans)
+        fits = [planner.fit_payload(env, m, self.shape, self.interpolation,
+                                    self._mode) for m in ms_np]
+        if any(f is None for f in fits):   # pragma: no cover - defensive
             import jax.numpy as jnp
-            from ..kernels.pallas_affine import affine_sample_pallas_variant
+            return lambda vol, ms: self._project_batch(vol, jnp.asarray(ms))
+        n = len(ms_np)
+        key = (planner.plan_group_key(env), n)
+        cached = self._variant_projectors.get(key)
+        if cached is None:
+            import jax
             axis = self.projection_axis
+            batch = planner.plan_batch_sampler(env, n, 0.0,
+                                               interpret=self._interpret)
+            reduce_ = jax.jit(lambda x: jnp.sum(x, axis=axis + 1))
 
-            def run(vol, ms):
-                return jax.lax.map(
-                    lambda m: jnp.sum(
-                        affine_sample_pallas_variant(vol, m, variant, 0.0),
-                        axis=axis), ms)
+            def cached(vol, ms, _env=env, _batch=batch, _reduce=reduce_):
+                del vol  # the prepared layout stands in for the volume
+                plans = [planner.fit_payload(_env, m, self.shape,
+                                             self.interpolation, self._mode)
+                         for m in ms]
+                payloads = jnp.stack([planner.plan_payload(m, p)
+                                      for m, p in zip(ms, plans)])
+                prepared = self._prepared_source(_env)
+                return _reduce(_batch(prepared, payloads))
 
-            self._variant_projectors[variant] = jax.jit(run)
-        return self._variant_projectors[variant]
+            self._variant_projectors[key] = cached
+        return cached
 
     def tilt_matrices(self, angles_deg: Sequence[float],
                       tilt_axis: int = 1) -> np.ndarray:
@@ -111,10 +151,9 @@ class TiltSeriesProjector:
 
         Returns an (N, H', W') stack of projections (numpy, or the device
         array with ``output='device'``)."""
-        import jax.numpy as jnp
         ms_np = self.tilt_matrices(angles_deg, tilt_axis)
         projector = self._projector_for(ms_np)
-        result = projector(self.data, jnp.asarray(ms_np))
+        result = projector(self.data, ms_np)
         if isinstance(output, str) and output == "device":
             return result
         return np.asarray(result)

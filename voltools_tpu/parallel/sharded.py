@@ -50,8 +50,14 @@ def _shard_map(body, mesh, in_specs, out_specs):
         return jax.shard_map(body, mesh=mesh, in_specs=in_specs,
                              out_specs=out_specs, check_vma=False)
     from jax.experimental.shard_map import shard_map
-    return shard_map(body, mesh=mesh, in_specs=in_specs,
-                     out_specs=out_specs)
+    try:
+        # the replication checker is on by default on older jax and rejects
+        # pallas_call outputs — exactly what this wrapper exists to bypass
+        return shard_map(body, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)
+    except TypeError:   # very old signatures lack check_rep
+        return shard_map(body, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs)
 
 
 def halo_for_matrix(shape, matrix, interpolation: str = "linear") -> Optional[int]:

@@ -194,6 +194,15 @@ def _record_dispatch(**info):
     _LAST_DISPATCH.info = info
 
 
+def _plan_cache_put(mkey, plan):
+    """Insert under _VARIANT_LOCK (held by the caller); on overflow evict the
+    oldest half FIRST so the fresh entry survives."""
+    if len(_PLAN_CACHE) >= 4096:
+        for k in list(_PLAN_CACHE)[:2048]:
+            del _PLAN_CACHE[k]
+    _PLAN_CACHE[mkey] = plan
+
+
 def last_dispatch():
     """Diagnostics: a dict describing how the calling thread's most recent
     accelerated transform was served — ``{'impl': 'pallas'|'xla',
@@ -246,14 +255,10 @@ def select_variant(transform_m, vol_shape, interpolation, mode, device,
                                             out_shape=out_shape)):
                         _record_dispatch(impl="pallas", variant=cached,
                                          reason="cached variant envelope")
-                        _PLAN_CACHE[mkey] = cached
-                        if len(_PLAN_CACHE) > 4096:
-                            _PLAN_CACHE.clear()
+                        _plan_cache_put(mkey, cached)
                         return cached
         with _VARIANT_LOCK:
-            _PLAN_CACHE[mkey] = variant
-            if len(_PLAN_CACHE) > 4096:
-                _PLAN_CACHE.clear()
+            _plan_cache_put(mkey, variant)
         if variant is not None:
             with _VARIANT_LOCK:
                 _RECENT_VARIANTS.append(variant)

@@ -116,10 +116,12 @@ class StaticVolume:
         key = plan_layout_key(plan)
         if key is None:
             return self.data
-        prep = self._walk_layouts.get(key)
+        with self._variant_lock:
+            prep = self._walk_layouts.get(key)
         if prep is None:
             prep = jax.jit(lambda vol: plan_prepare(vol, plan))(self.data)
-            self._walk_layouts[key] = prep
+            with self._variant_lock:
+                prep = self._walk_layouts.setdefault(key, prep)
         return prep
 
     def _device_sampler(self, transform_m):
@@ -254,7 +256,11 @@ class StaticVolume:
                     # pad the remainder up to the next ladder size so the
                     # set of compiled (group, n) programs stays bounded
                     size = min(s for s in self._BATCH_SIZES if s >= rest)
-                    size = min(size, allowed)
+                    if size > allowed:
+                        # HBM byte budget caps the chunk: round DOWN to a
+                        # ladder entry so the compiled-size set stays bounded
+                        size = max(s for s in self._BATCH_SIZES
+                                   if s <= allowed)
                     take = min(rest, size)
                 chunk = idxs[pos:pos + take]
                 padded = chunk + [chunk[-1]] * (size - take)
