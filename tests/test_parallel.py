@@ -100,6 +100,36 @@ def test_sharded_affine_batch(mesh, volume):
         np.testing.assert_allclose(got[i], expected, atol=3e-5)
 
 
+def test_sharded_batch_pallas_plan(mesh):
+    """The DP sweep must run the planner's grid-batched kernel under
+    shard_map (round-2 verdict: it previously always routed through the XLA
+    gather sampler).  Forced walk plan, interpreter-mode kernels, asserted
+    against the XLA path off knife edges."""
+    from voltools_tpu.kernels.pallas_walk import choose_walk_variant
+
+    rng = np.random.default_rng(3)
+    vol = rng.random((48, 48, 48)).astype(np.float32)
+    c = (np.asarray(vol.shape) - 1) / 2
+    ms = np.stack([
+        np.asarray(transform_matrix(rotation=(0.0, a, 0.0),
+                                    rotation_order="rzxz", center=c),
+                   np.float32)
+        for a in np.linspace(-21.0, 21.0, 8)])
+    plan = choose_walk_variant(ms, vol.shape, "linear", "constant")
+    assert plan is not None, "tilt envelope must admit a walk plan here"
+    got = sharded_affine_batch(vol, ms, mesh=mesh, _plan=plan,
+                               _interpret=True)
+    want = sharded_affine_batch(vol, ms, mesh=mesh)
+    idx = np.indices(vol.shape, dtype=np.float64).reshape(3, -1)
+    for i, m in enumerate(ms):
+        src = (np.asarray(m, np.float64)[:3, :3] @ idx
+               + np.asarray(m, np.float64)[:3, 3:4])
+        near = (np.abs(src - np.round(src)) < 1e-4).any(axis=0)
+        err = np.where(near.reshape(vol.shape), 0.0,
+                       np.abs(got[i] - want[i]))
+        assert err.max() <= 5e-5
+
+
 def test_sharded_batch_validation(mesh, volume):
     ms = np.stack([np.eye(4, dtype=np.float32)] * 3)  # 3 % 8 != 0
     with pytest.raises(ValueError):

@@ -398,11 +398,18 @@ class ShardedVolume:
 
 
 def sharded_affine_batch(volume, matrices, interpolation: str = "linear",
-                         mesh=None, mode: str = "constant", cval: float = 0.0):
+                         mesh=None, mode: str = "constant", cval: float = 0.0,
+                         _plan=None, _interpret: bool = False):
     """Apply N matrices to one volume, data-parallel over the mesh.
 
     The volume is replicated; the matrix batch is sharded.  Returns the
     (N, *shape) stack on host.  N must divide by the mesh size.
+
+    On TPU meshes each device runs the planner's grid-batched Pallas kernel
+    over its matrix share (one envelope plan serves the whole sweep;
+    per-matrix geometry rides in runtime payloads), falling back to the XLA
+    gather sampler outside the kernel regime.  ``_plan``/``_interpret`` are
+    test hooks forcing a specific plan / interpreter-mode kernels.
     """
     import jax
     import jax.numpy as jnp
@@ -415,6 +422,44 @@ def sharded_affine_batch(volume, matrices, interpolation: str = "linear",
     if matrices.shape[0] % n != 0:
         raise ValueError(f"batch ({matrices.shape[0]}) must divide over "
                          f"{n} devices")
+    shape = tuple(volume.shape)
+
+    from ..transforms import _pick_impl
+    plan = _plan
+    if plan is None and _pick_impl(mesh.devices.flat[0]) == "pallas":
+        from ..kernels.planner import choose_plan
+        plan = choose_plan(np.asarray(matrices, np.float64), shape,
+                           interpolation, mode)
+
+    if plan is not None:
+        from ..kernels.planner import (fit_payload, plan_batch_sampler,
+                                       plan_payload, plan_prepare)
+        from ..ops.interpolation import needs_prefilter
+        fits = [fit_payload(plan, m, shape, interpolation, mode)
+                for m in matrices]
+        if all(f is not None for f in fits):
+            npd = matrices.shape[0] // n
+            run_b = plan_batch_sampler(plan, npd, cval,
+                                       interpret=_interpret)
+
+            def prepare(v):
+                v = jnp.asarray(v, jnp.float32)
+                if needs_prefilter(interpolation):
+                    from ..ops.prefilter import bspline_prefilter
+                    v = bspline_prefilter(v)
+                return plan_prepare(v, plan)
+
+            prepared = jax.device_put(
+                jax.jit(prepare)(jnp.asarray(volume, jnp.float32)),
+                NamedSharding(mesh, P()))
+            payloads = jax.device_put(
+                jnp.stack([plan_payload(m, f)
+                           for m, f in zip(matrices, fits)]),
+                NamedSharding(mesh, P(axis)))
+            fn = jax.jit(_shard_map(lambda prep, pls: run_b(prep, pls),
+                                    mesh=mesh, in_specs=(P(), P(axis)),
+                                    out_specs=P(axis)))
+            return np.asarray(fn(prepared, payloads))
 
     from ..ops.sampling import affine_sample_batch
 
