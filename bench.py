@@ -4,12 +4,15 @@ This is the reference's own benchmark workload: rotations drawn uniformly
 from [-180, 180)^3 in 'sxyz' order about center=size/2 (reference
 ``tests/benchmark.py:52-54``), applied to a device-resident volume with the
 output kept on device -- the ``static_vol_out`` column.  Baseline numbers
-(GTX 1050 Ti, mean of 100 random rotations at 250^3 linear):
-``static_vol_out`` 8.768 ms, ``cp_transform_out`` 12.710 ms (BASELINE.md).
+(GTX 1050 Ti, mean of 100 random rotations at 250^3):
+linear ``static_vol_out`` 8.768 ms / ``cp_transform_out`` 12.710 ms;
+filt_bspline 34.69 / 38.77 ms (BASELINE.md).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": <mean ms per rotation>, "unit": "ms",
-   "vs_baseline": <speedup x vs static_vol_out>}
+  {"metric": ..., "value": <linear mean ms>, "unit": "ms",
+   "vs_baseline": <speedup x vs linear static_vol_out>,
+   "per_rotation_ms": [...], "cubic_ms": <cubic mean>,
+   "cubic_vs_baseline": ..., "cubic_per_rotation_ms": [...]}
 
 Timing method: this environment reaches the TPU through an RPC tunnel where
 ``block_until_ready`` returns before execution finishes and every host
@@ -29,8 +32,10 @@ import numpy as np
 
 BASELINE_STATIC_MS = 8.768   # static_vol_out, 250^3 linear (BASELINE.md)
 BASELINE_CP_MS = 12.710      # cp_transform_out, 250^3 linear (BASELINE.md)
+BASELINE_CUBIC_MS = 34.69    # static_vol_out, 250^3 filt_bspline
 
-N_ROT = 8       # rotations measured (each = one compiled chained program)
+N_ROT = 16      # linear rotations measured (one compiled program each)
+N_ROT_CUBIC = 8  # cubic rotations (heavier compiles)
 ITERS = 8       # chained applications per program
 
 
@@ -54,10 +59,13 @@ def main():
     center = (size / 2,) * 3   # reference benchmark.py:53
 
     def measure(m, interpolation):
-        # tight per-matrix plan (sticky=None): the benchmark measures the
-        # steady-state per-call time with each matrix's own kernel, compile
-        # excluded -- exactly how the baseline timed its one precompiled
-        # kernel per configuration
+        # tight per-matrix plan (sticky=None: no binary reuse, no
+        # quantization ladders): the benchmark measures the steady-state
+        # per-call time with each matrix's own kernel, compile excluded --
+        # exactly how the baseline timed its one precompiled kernel per
+        # configuration.  The volume is prefiltered once at upload for
+        # cubic (reference volume.py:48-50), so the kernel samples
+        # coefficients directly either way.
         plan = choose_plan(m, vol.shape, interpolation, "constant",
                            sticky=None)
         if plan is None:   # pragma: no cover - defensive
@@ -92,25 +100,39 @@ def main():
         ms = (run(ITERS) - run(1)) / (ITERS - 1) * 1e3
         return ms, type(plan).__name__
 
-    times = []
-    for i in range(N_ROT):
-        ang = rng.uniform(-180, 180, 3)   # reference benchmark.py:52
-        m = transform_matrix(rotation=tuple(ang), rotation_order="sxyz",
-                             center=center)
-        ms, kind = measure(m, "linear")
-        if ms is not None:
-            times.append(ms)
-        print(f"# rot {i} {np.round(ang, 1).tolist()}: {ms:.2f} ms "
-              f"({kind})", file=sys.stderr)
+    def sweep(interpolation, n_rot):
+        rot_rng = np.random.default_rng(0)
+        rot_rng.random((size,) * 3, dtype=np.float64)  # align the stream
+        times = []
+        for i in range(n_rot):
+            ang = rot_rng.uniform(-180, 180, 3)  # reference benchmark.py:52
+            m = transform_matrix(rotation=tuple(ang), rotation_order="sxyz",
+                                 center=center)
+            ms, kind = measure(m, interpolation)
+            if ms is not None:
+                times.append(round(ms, 3))
+            print(f"# {interpolation} rot {i} {np.round(ang, 1).tolist()}: "
+                  f"{ms:.2f} ms ({kind})", file=sys.stderr)
+        return times
 
-    mean_ms = float(np.mean(times))
+    lin = sweep("linear", N_ROT)
+    cub = sweep("filt_bspline", N_ROT_CUBIC)
+
+    mean_lin = float(np.mean(lin))
+    mean_cub = float(np.mean(cub)) if cub else None
     print(json.dumps({
         "metric": (f"StaticVolume {size}^3 f32 linear, mean of {N_ROT} "
                    f"random 'sxyz' rotations (reference benchmark "
                    f"workload), resident volume, device output"),
-        "value": round(mean_ms, 3),
+        "value": round(mean_lin, 3),
         "unit": "ms",
-        "vs_baseline": round(BASELINE_STATIC_MS / mean_ms, 2),
+        "vs_baseline": round(BASELINE_STATIC_MS / mean_lin, 2),
+        "per_rotation_ms": lin,
+        "worst_ms": round(max(lin), 3),
+        "cubic_ms": round(mean_cub, 3) if mean_cub else None,
+        "cubic_vs_baseline": (round(BASELINE_CUBIC_MS / mean_cub, 2)
+                              if mean_cub else None),
+        "cubic_per_rotation_ms": cub,
     }))
 
 

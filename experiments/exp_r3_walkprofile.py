@@ -24,8 +24,11 @@ def slope_time(fn, vol, mat, iters=8):
     import jax
     import jax.numpy as jnp
 
-    @functools.partial(jax.jit, static_argnames="n")
+    @jax.jit
     def chained(n, v, m):
+        # n is traced (dynamic fori trip count): ONE compile serves both
+        # slope points (a static n would recompile the Mosaic kernel per
+        # point through the enclosing jit)
         def body(_, carry):
             mm, acc = carry
             out = fn(v, mm)

@@ -77,6 +77,23 @@ def test_walk_matches_xla_random_rotations(volume, interpolation, seed):
     assert_close_off_edges(got, expected, m)
 
 
+def test_walk_tight_mode_matches_xla(volume):
+    """quantize=False (tight mode: exact hz/slop/y_lo, no binary-sharing
+    ladders) must stay scipy-exact — the geometry slack it removes is
+    padding, not correctness margin."""
+    m = random_rotation(7, volume.shape)
+    v = choose_walk_variant(m, volume.shape, "linear", "constant",
+                            quantize=False)
+    assert v is not None
+    vq = choose_walk_variant(m, volume.shape, "linear", "constant")
+    assert v.hz <= vq.hz and v.w0 <= vq.w0
+    expected = np.asarray(affine_sample(volume, m, "linear", "constant",
+                                        prefiltered=True))
+    got = np.asarray(affine_sample_pallas_walk(volume, m, v, 0.0,
+                                               interpret=True))
+    assert_close_off_edges(got, expected, m)
+
+
 def test_walk_border_mode(volume):
     m = random_rotation(2, volume.shape)
     v = choose_walk_variant(m, volume.shape, "linear", "border")

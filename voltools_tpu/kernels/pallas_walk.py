@@ -268,7 +268,8 @@ def _band_bounds(geo, A, vb, wb, order):
 def choose_walk_variant(matrix, vol_shape, interpolation: str,
                         mode: str = "constant", known=(),
                         sticky: float = 1.35,
-                        out_shape=None) -> Optional[WalkVariant]:
+                        out_shape=None,
+                        quantize: bool = True) -> Optional[WalkVariant]:
     """Pick the cheapest (axes, packing, macro) assignment for the kernel.
 
     ``known`` is a collection of already-compiled canonical variants; when
@@ -295,8 +296,15 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
     A = _adjusted_all(matrices)                       # (36, N, 3, 4)
     geo = _vec_geometry(A, order)
     aaE = np.abs(A).max(axis=1)                       # (36, 3, 4) envelope
-    slop_lo = _ladder_arr(geo["slop_lo"].max(1))      # (36,)
-    slop_hi = _ladder_arr(geo["slop_hi"].max(1))
+    # parameter ladders trade per-matrix tightness for Mosaic binary
+    # sharing across a sweep; quantize=False (tight mode, e.g. benchmark
+    # steady state with one compile per matrix) keeps the exact values —
+    # hz and the slop slots directly scale the per-vreg vector work
+    slop_lo = geo["slop_lo"].max(1)                   # (36,)
+    slop_hi = geo["slop_hi"].max(1)
+    if quantize:
+        slop_lo = _ladder_arr(slop_lo)
+        slop_hi = _ladder_arr(slop_hi)
     base_ok = geo["drift_ok"].all(1)                  # (36,)
     kok = geo["kok"].all(1)                           # (36, 4)
     kapM = np.abs(geo["kappa"]).max(1)                # (36, 4)
@@ -340,9 +348,13 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
     yhi_r = np.ceil(hi_b).astype(np.int64) + t_hi + 1
 
     hz_raw = hz_r.max(1)                              # (36, P)
-    y_lo = (ylo_r.min(1) // _YLO_STEP) * _YLO_STEP    # (36, 4, P)
+    if quantize:
+        y_lo = (ylo_r.min(1) // _YLO_STEP) * _YLO_STEP  # (36, 4, P)
+        hz = -_HZ_STEP * (-hz_raw // _HZ_STEP)        # (36, P)
+    else:
+        y_lo = ylo_r.min(1)
+        hz = hz_raw
     y_hi = yhi_r.max(1)
-    hz = -_HZ_STEP * (-hz_raw // _HZ_STEP)            # (36, P)
     hy = (y_hi - y_lo + 8) // 8 * 8                   # (36, 4, P)
     ok0 = ((base_ok[:, None] & (hz <= _MAX_HZ))[:, None]
            & kok[:, :, None] & (hy <= _MAX_HY))       # (36, 4, P)
@@ -352,12 +364,16 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
     span0 = np.einsum("cj,pmj->cpm", aaE[:, 0, :3], E_all)
     w0 = (np.ceil(span0).astype(np.int64) + tapspan + 4
           + (hz - hz_raw)[:, :, None])                # (36, P, M)
-    w0 = np.minimum(-_W_STEP * (-np.maximum(w0, hz[:, :, None]) // _W_STEP),
-                    d0[:, None, None])
+    w0 = np.maximum(w0, hz[:, :, None])
+    if quantize:
+        w0 = -_W_STEP * (-w0 // _W_STEP)
+    w0 = np.minimum(w0, d0[:, None, None])
     w1 = (np.ceil(np.einsum("ckj,pmj->ckpm", resM, E_all)
                   + kapM[:, :, None, None] * (w0[:, None] + 1.0))
           .astype(np.int64) + 3 + hy[..., None])      # (36, 4, P, M)
-    w1 = np.minimum(-_W_STEP * (-w1 // _W_STEP), d1[:, None, None, None])
+    # w1 is the window's second-minor dim: keep 8-sublane alignment even in
+    # tight mode (dynamic-start band slices assume it)
+    w1 = np.minimum(-8 * (-w1 // 8), d1[:, None, None, None])
     span_x = (np.einsum("cj,pmj->cpm", aaE[:, 2, :3], E_all)
               + tapspan + (slop_lo + slop_hi)[:, None, None] + 4)
     dyn = (span_x <= 128 - 32 - 2) & (dx_pad > 128)[:, None, None]
@@ -370,19 +386,20 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
     best = None
     best_cost = np.inf
     if ok.any():
-        # ops-calibrated cost model (per plane / per vreg)
-        nd = ndx0[:, None, None, None]
-        per_plane = (ycand[..., None] * nbw[:, None] * (1 + nd)
-                     + (nbw - 1)[:, None] * ycand[..., None] * nd * 2
-                     + ntaps * ycand[..., None] * (2 * nd + 3)
-                     + 3 * ntaps + 10)
-        fixed = 170 + 6 * ndx0 * ntaps
+        # measurement-calibrated cost model (exp_r3_walkprofile, 250^3
+        # linear): per-vreg-plane compute ~= 2.16 * ycand * ndx^1.5 ns,
+        # scaled by ntaps/2 for cubic; the window DMA pipelines behind the
+        # compute, so it only costs where it exceeds the overlap headroom.
+        nd = ndx0[:, None, None, None].astype(np.float64)
+        per_plane = (2.16 * ycand[..., None] * nd ** 1.5
+                     * (ntaps / 2.0) * nbw[:, None])          # ns/vreg/plane
         per_vreg = (hz_c[:, None, :, None] * per_plane
-                    + fixed[:, None, None, None])
-        dma = ((w0[:, None] * w1 * xw[:, None] * 4.0) / guv / 700.0
-               + 40.0 * (xw // xg)[:, None] / guv)
-        cost = np.where(ok, (per_vreg + dma)
-                        * nvregs[:, None, None, None], np.inf)
+                    + 30.0)                                   # ns/vreg
+        dma = ((w0[:, None] * w1 * xw[:, None] * 4.0) / guv / 750.0
+               + 300.0 * nbw[:, None] / guv)                  # ns/vreg
+        tot = (np.maximum(per_vreg, dma)
+               + 0.25 * np.minimum(per_vreg, dma))
+        cost = np.where(ok, tot * nvregs[:, None, None, None], np.inf)
         ci = int(np.argmin(cost))
         pq, ki, pi, mi = np.unravel_index(ci, cost.shape)
         best_cost = float(cost[pq, ki, pi, mi])
@@ -475,23 +492,19 @@ def walk_variant_covers(v: WalkVariant, matrix, vol_shape,
 
 
 def _variant_cost(v: WalkVariant) -> float:
-    """The chooser's ops-calibrated cost, recomputed from a variant's own
-    parameters (used to compare an already-compiled config against the
-    fresh per-matrix optimum)."""
+    """The chooser's measurement-calibrated cost (ns), recomputed from a
+    variant's own parameters (used to compare an already-compiled config
+    against the fresh per-matrix optimum).  Calibration:
+    exp_r3_walkprofile at 250^3 linear — per-vreg-plane compute
+    ~= 2.16 * ycand * ndx^1.5 ns, DMA overlapped behind compute."""
     ntaps = 2 if v.order == 1 else 4
     ndx = len(v.dxs)
-    ycand = v.ycand
-    nbw = v.nbw
-    per_plane = (ycand * nbw * (1 + ndx)
-                 + (nbw - 1) * ycand * ndx * 2
-                 + ntaps * ycand * (2 * ndx + 3)
-                 + 3 * ntaps + 10)
-    fixed = 170 + 6 * ndx * ntaps
-    per_vreg = v.hz * per_plane + fixed
+    per_plane = 2.16 * v.ycand * ndx ** 1.5 * (ntaps / 2.0) * v.nbw
+    per_vreg = v.hz * per_plane + 30.0
     nvregs = (v.out_d[0] * v.out_d[1] * v.out_d[2]) / 1024.0
-    dma = ((v.w0 * v.w1 * v.xw * 4) / (v.gu * v.gv) / 700.0
-           + 40.0 * (v.xw // v.xg) / (v.gu * v.gv))
-    return (per_vreg + dma) * nvregs
+    dma = ((v.w0 * v.w1 * v.xw * 4.0) / (v.gu * v.gv) / 750.0
+           + 300.0 * v.nbw / (v.gu * v.gv))
+    return (max(per_vreg, dma) + 0.25 * min(per_vreg, dma)) * nvregs
 
 
 def fit_walk_variant(matrix, vol_shape, interpolation: str, mode: str,

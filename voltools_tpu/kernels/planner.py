@@ -49,9 +49,14 @@ def choose_plan(matrix, vol_shape, interpolation: str,
     ``sticky=None`` to always take the tight per-matrix optimum (steady-
     state benchmarking; latency-insensitive long-running services)."""
     known = known_canonicals() if sticky is not None else ()
+    # sticky=None (tight mode) also disables the parameter-quantization
+    # ladders: no binary sharing is wanted, so each matrix gets its exact
+    # hz/slop/y_lo (the ladders otherwise pad the per-vreg walk and the
+    # gather slot count by ~5-15%)
     walk = choose_walk_variant(matrix, vol_shape, interpolation, mode,
                                known=known, sticky=sticky or 1.0,
-                               out_shape=out_shape)
+                               out_shape=out_shape,
+                               quantize=sticky is not None)
     if walk is not None:
         return walk
     return choose_variant(matrix, vol_shape, interpolation, mode,
