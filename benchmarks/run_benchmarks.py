@@ -25,7 +25,6 @@ Run:  python benchmarks/run_benchmarks.py [--quick] [--interpolation ...]
 """
 
 import argparse
-import functools
 import sys
 import time
 
@@ -52,8 +51,11 @@ def slope_ms(plan, prep, m, cval, iters=8):
 
     from voltools_tpu.kernels.planner import plan_sample_prepared
 
-    @functools.partial(jax.jit, static_argnames="n")
+    @jax.jit
     def chained(n, p, mat):
+        # n is traced (dynamic fori trip count) so ONE compile serves both
+        # slope points — a static n would recompile the Mosaic kernel per
+        # point through the enclosing jit
         def body(_, carry):
             mm, acc = carry
             out = plan_sample_prepared(p, mm, plan, cval)
@@ -77,6 +79,26 @@ def slope_ms(plan, prep, m, cval, iters=8):
     return (run(iters) - run(1)) / (iters - 1) * 1e3
 
 
+_PEAK_GBPS = 819.0   # TPU v5e HBM
+
+
+def plan_bytes(plan, out_voxels):
+    """HBM bytes one application of ``plan`` moves: window DMAs (redundant,
+    overlapping reads) + output write (+ the un-blocking relayout's
+    read+write for walk plans)."""
+    from voltools_tpu.kernels.pallas_walk import WalkVariant
+    out_bytes = out_voxels * 4
+    if isinstance(plan, WalkVariant):
+        U, V, W = plan.out_d
+        nwin = ((-(-U // (8 * plan.gu))) * (-(-V // (plan.vb * plan.gv)))
+                * (-(-W // plan.wb)))
+        win = nwin * plan.nbw * plan.w0 * plan.w1 * 128 * 4
+        return win + 3 * out_bytes
+    og, os_, ol = plan.out_d
+    ntiles = og * (-(-os_ // 8)) * (-(-ol // 128))
+    return ntiles * plan.nb * plan.w0 * plan.w1 * 128 * 4 + out_bytes
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
@@ -86,6 +108,10 @@ def main():
                                  "filt_bspline", "filt_bspline_simple"])
     parser.add_argument("--device", default="tpu")
     parser.add_argument("--rotations", type=int, default=None)
+    parser.add_argument("--bandwidth", action="store_true",
+                        help="print achieved HBM GB/s (bytes moved / slope "
+                             "time) and %% of the v5e's ~819 GB/s next to "
+                             "the static_vol_out column")
     args = parser.parse_args()
 
     import jax
@@ -134,6 +160,7 @@ def main():
         sv = vt.StaticVolume(vol, interpolation=args.interpolation,
                              device=args.device)
         slopes = []
+        gbps = []
         for m in ms:
             plan = select_variant(m, sv.shape, sv.interpolation, sv.mode,
                                   jdev)
@@ -141,8 +168,11 @@ def main():
                 slopes.append(float("nan"))
                 continue
             prep = sv._prepared_source(plan)
-            slopes.append(slope_ms(plan, prep, m, sv.cval,
-                                   iters=64 if size <= 50 else 8))
+            t = slope_ms(plan, prep, m, sv.cval,
+                         iters=64 if size <= 50 else 8)
+            slopes.append(t)
+            if args.bandwidth and t > 0:
+                gbps.append(plan_bytes(plan, size ** 3) / t / 1e6)
         t_static_out = float(np.nanmean(slopes))
 
         sv.affine_batch(ms, output="device")   # compile warmup
@@ -150,8 +180,12 @@ def main():
             sv.affine_batch(ms, output="device")[0].ravel()[0]),
             repeats=2) / n_rot
 
+        bw = ""
+        if args.bandwidth and gbps:
+            g = float(np.mean(gbps))
+            bw = f"  {g:>6.0f} GB/s ({g / _PEAK_GBPS:>4.0%} of peak)"
         print(f"{size:>6} {scipy_t:>10.2f} {t_transform:>10.2f} "
-              f"{t_static_out:>15.2f} {t_batch:>10.2f}")
+              f"{t_static_out:>15.2f} {t_batch:>10.2f}{bw}")
 
 
 if __name__ == "__main__":

@@ -70,6 +70,26 @@ def test_variant_rejects_full_3d_rotation(volume):
         np.testing.assert_allclose(got, expected, atol=2e-5)
 
 
+def test_tree_grid_batched_matches_oneshot(volume):
+    """The select-tree grid-batched runner (leading matrix grid dim,
+    per-matrix SMEM rows) must agree with per-matrix launches for a tilt
+    sweep sharing one envelope variant."""
+    from voltools_tpu.kernels.pallas_affine import _tree_runner
+
+    ms = np.stack([
+        np.asarray(transform_matrix(rotation=(0.0, a, 0.0),
+                                    rotation_order="rzxz", center=CENTER),
+                   np.float32)
+        for a in (-8.0, 3.0, 11.0)])
+    v = choose_variant(ms, volume.shape, "linear", "constant")
+    assert v is not None, "tilt envelope must land on a tree variant here"
+    outs = np.asarray(_tree_runner(v, 0.0, 3, True)(volume, ms))
+    for j, m in enumerate(ms):
+        want = np.asarray(affine_sample_pallas_variant(volume, m, v, 0.0,
+                                                       interpret=True))
+        np.testing.assert_allclose(outs[j], want, atol=1e-6)
+
+
 def test_pallas_nonuniform_shape():
     rng = np.random.default_rng(3)
     vol = rng.random((17, 150, 260)).astype(np.float32)

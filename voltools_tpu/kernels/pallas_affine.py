@@ -29,6 +29,7 @@ qualify; generic small/medium rotations usually do.
 
 from __future__ import annotations
 
+import functools
 import itertools
 import math
 from dataclasses import dataclass
@@ -81,6 +82,24 @@ class Variant:
             pad = max(pad, self.slop + 1 if self.slop else 1)
         lo, hi = self.taps[0] - pad, self.taps[-1] + pad
         return tuple(range(lo, hi + 1))
+
+
+class _MatView:
+    """Cached scalar-read view of the SMEM matrix payload: ``m[r, c]`` reads
+    ``ref[r, c]`` (unbatched) or ``ref[bi, r, c]`` (batched), memoized so
+    repeated uses emit one SMEM load."""
+
+    def __init__(self, ref, bi=None):
+        self._ref, self._bi, self._cache = ref, bi, {}
+
+    def __getitem__(self, rc):
+        if rc not in self._cache:
+            r, c = rc
+            if self._bi is None:
+                self._cache[rc] = self._ref[r, c]
+            else:
+                self._cache[rc] = self._ref[self._bi, r, c]
+        return self._cache[rc]
 
 
 def _adjusted_matrix(matrix: np.ndarray, ps, po) -> np.ndarray:
@@ -195,7 +214,7 @@ def variant_covers(v: Variant, matrix, vol_shape, interpolation: str,
     return math.ceil(spans[0]) <= v.w0 and math.ceil(spans[1]) <= v.w1
 
 
-def _make_kernel(v: Variant, cval: float):
+def _make_kernel(v: Variant, cval: float, batch: int = 0):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -220,29 +239,37 @@ def _make_kernel(v: Variant, cval: float):
     depth = max(2, min(4, (4 << 20) // max(win_bytes, 1)))
 
     def kernel(mat_ref, vol_hbm, out_ref, win_ref, sem):
-        g = pl.program_id(0)
-        si = pl.program_id(1)
-        li = pl.program_id(2)
-        ng = pl.num_programs(0)
-        ns = pl.num_programs(1)
-        nl = pl.num_programs(2)
+        if batch:
+            bi = pl.program_id(0)
+            g, si, li = (pl.program_id(1), pl.program_id(2),
+                         pl.program_id(3))
+            ng, ns, nl = (pl.num_programs(1), pl.num_programs(2),
+                          pl.num_programs(3))
+            nbt = pl.num_programs(0)
+        else:
+            bi = None
+            g, si, li = (pl.program_id(0), pl.program_id(1),
+                         pl.program_id(2))
+            ng, ns, nl = (pl.num_programs(0), pl.num_programs(1),
+                          pl.num_programs(2))
+            nbt = 1
         gpos = g.astype(jnp.float32)
         sbase = (si * 8).astype(jnp.float32)
         lbase = (li * 128).astype(jnp.float32)
 
-        a = mat_ref  # (3,4) SMEM
+        a = _MatView(mat_ref, bi)  # (3,4) SMEM (leading batch dim if any)
 
         # ---- scalar window origin per rows-axis (min over tile corners)
-        def origin(r, wr, dr, gp, sb, lb):
-            base = a[r, 0] * gp + a[r, 1] * sb + a[r, 2] * lb + a[r, 3]
-            lo = (base + jnp.minimum(a[r, 1] * 7.0, 0.0)
-                  + jnp.minimum(a[r, 2] * 127.0, 0.0))
+        def origin(am, r, wr, dr, gp, sb, lb):
+            base = am[r, 0] * gp + am[r, 1] * sb + am[r, 2] * lb + am[r, 3]
+            lo = (base + jnp.minimum(am[r, 1] * 7.0, 0.0)
+                  + jnp.minimum(am[r, 2] * 127.0, 0.0))
             o = jnp.floor(lo).astype(jnp.int32) - (2 if order == 3 else 1)
             return jnp.clip(o, 0, dr - wr)
 
-        def origins(gp, sb, lb):
-            return (origin(0, w0, d0, gp, sb, lb),
-                    origin(1, w1, d1, gp, sb, lb))
+        def origins(am, gp, sb, lb):
+            return (origin(am, 0, w0, d0, gp, sb, lb),
+                    origin(am, 1, w1, d1, gp, sb, lb))
 
         def start_window_dma(slot, oo0, oo1):
             for b in range(nb):
@@ -254,19 +281,27 @@ def _make_kernel(v: Variant, cval: float):
         # compute, so a single prefetch step cannot hide it; keep K windows
         # in flight (step t waits on slot t%K and starts step t+K-1's DMA)
         step = (g * ns + si) * nl + li
-        total = ng * ns * nl
+        if batch:
+            step = bi * (ng * ns * nl) + step
+        total = nbt * ng * ns * nl
         slot = jax.lax.rem(step, depth)
 
         def step_origins(t):
+            if batch:
+                bt = t // (ng * ns * nl)
+                t = t - bt * (ng * ns * nl)
+                am = _MatView(mat_ref, bt)
+            else:
+                am = a
             gg = t // (ns * nl)
             rest = t - gg * (ns * nl)
             ss = rest // nl
             ll = rest - ss * nl
-            return origins(gg.astype(jnp.float32),
+            return origins(am, gg.astype(jnp.float32),
                            (ss * 8).astype(jnp.float32),
                            (ll * 128).astype(jnp.float32))
 
-        o0, o1 = origins(gpos, sbase, lbase)
+        o0, o1 = origins(a, gpos, sbase, lbase)
 
         @pl.when(step == 0)
         def _():
@@ -480,10 +515,68 @@ def _make_kernel(v: Variant, cval: float):
         else:
             inside = ((zf > -0.5) & (zf < d0 - 0.5) & (yf > -0.5)
                       & (yf < d1 - 0.5) & (xf > -0.5) & (xf < d2 - 0.5))
-        out_ref[0, :, :] = jnp.where(inside, out, jnp.float32(cval))
+        res = jnp.where(inside, out, jnp.float32(cval))
+        if batch:
+            out_ref[0, 0, :, :] = res
+        else:
+            out_ref[0, :, :] = res
 
     kernel.pipeline_depth = depth
     return kernel
+
+
+@functools.lru_cache(maxsize=64)
+def _tree_runner(v: Variant, cval: float, batch: int,
+                 interpret: bool = False):
+    """Jitted grid-batched launch of the select-tree kernel: N matrices in
+    ONE pallas call (leading batch grid dimension, per-matrix SMEM rows) —
+    the same runtime-payload scheme as the walk kernel's batched runner
+    (``pallas_walk._walk_runner``), so a tilt sweep whose envelope lands on
+    a tree plan is a single tight program instead of a ``lax.map`` of
+    launches.  Takes the ORIGINAL (unpermuted) volume and the raw (N,4,4)
+    matrix stack."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kernel = _make_kernel(v, cval, batch)
+    og, os_, ol = v.out_d
+    os_pad = ((os_ + 7) // 8) * 8
+    ol_pad = ((ol + 127) // 128) * 128
+    grid = (batch, og, os_pad // 8, ol_pad // 128)
+    inv = tuple(int(i) for i in np.argsort(v.po))
+
+    def run(volume, matrices):
+        vol_p = jnp.transpose(jnp.asarray(volume, jnp.float32), v.ps)
+        if v.dx_pad > v.d[2]:
+            vol_p = jnp.pad(vol_p,
+                            ((0, 0), (0, 0), (0, v.dx_pad - v.d[2])))
+        vol_p = vol_p.reshape(v.d[0], v.d[1], v.nb, 128)
+        ms = jnp.asarray(matrices, jnp.float32)
+        rows = ms[:, list(v.ps), :]                            # (n,3,4)
+        cols = jnp.stack([rows[:, :, v.po[0]], rows[:, :, v.po[1]],
+                          rows[:, :, v.po[2]], rows[:, :, 3]], axis=2)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((1, 1, 8, 128),
+                                   lambda b, g, s, l: (b, g, s, l),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((batch, og, os_pad, ol_pad),
+                                           jnp.float32),
+            scratch_shapes=[pltpu.VMEM((kernel.pipeline_depth, v.nb, v.w0,
+                                        v.w1, 128), jnp.float32),
+                            pltpu.SemaphoreType.DMA(
+                                (kernel.pipeline_depth, v.nb))],
+            interpret=interpret,
+        )(cols, vol_p)
+        out = out[:, :, :os_, :ol]
+        return jnp.transpose(out, (0,) + tuple(i + 1 for i in inv))
+
+    return jax.jit(run)
 
 
 def affine_sample_pallas_variant(volume, matrix, v: Variant,

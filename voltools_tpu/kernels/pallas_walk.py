@@ -53,7 +53,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from .pallas_affine import _adjusted_matrix
+from .pallas_affine import _adjusted_matrix, _MatView
 
 # host-side tier limits
 _MAX_HZ = 192          # longest per-vreg plane walk we accept
@@ -167,8 +167,11 @@ def _geometry(a, order, vb, wb, kax):
     t_lo, t_hi = (0, 1) if order == 1 else (-1, 2)
 
     span_z = sum(abs(a[0, i]) * e[i] for i in range(3))
-    # +1 floor rounding, +1 walk-origin offset, +1 f32 scalar-vs-vector skew
-    hz = int(math.ceil(span_z)) + tapspan + 3
+    # +1 walk-origin slot, +1 f32 scalar-vs-vector skew at the bottom.  A
+    # skew flip at the TOP needs no slot: the tap escaping the walk has
+    # fractional weight ~ulp there (fz -> 0/1), far below the 5e-5 parity
+    # tolerance.
+    hz = int(math.ceil(span_z)) + tapspan + 2
 
     # signed x drift across sublanes (x base is taken at sublane 0); epsilon
     # guards the ceil against f32 floor flips at near-integer drift
@@ -192,9 +195,10 @@ def _geometry(a, order, vb, wb, kax):
     wob = abs(kappa) * float(t_hi)
     lo = sum(min(res[i] * e[i], 0.0) for i in range(3)) - wob
     hi = sum(max(res[i] * e[i], 0.0) for i in range(3)) + wob
-    # y taps, one slot of floor rounding per side, one slot f32 skew low
-    y_lo = int(math.floor(lo)) + t_lo - 2
-    y_hi = int(math.ceil(hi)) + t_hi + 1
+    # one f32-skew slot at the bottom only: an upward floor flip at the top
+    # puts ~ulp weight on the escaping tap (benign, see hz comment)
+    y_lo = int(math.floor(lo)) + t_lo - 1
+    y_hi = int(math.ceil(hi)) + t_hi
     return hz, y_hi - y_lo + 1, y_lo, (slop_lo, slop_hi), kappa
 
 
@@ -255,13 +259,13 @@ def _band_bounds(geo, A, vb, wb, order):
     e = np.array([7.0, vb - 1.0, wb - 1.0], np.float32)
     tapspan = 1 if order == 1 else 3
     span_z = np.abs(A[..., 0, :3]) @ e
-    hz = np.ceil(span_z).astype(np.int64) + tapspan + 3
+    hz = np.ceil(span_z).astype(np.int64) + tapspan + 2
     rese = geo["res"] * e
     wob = np.abs(geo["kappa"]) * float(geo["t_hi"])
     lo = np.minimum(rese, 0.0).sum(-1) - wob
     hi = np.maximum(rese, 0.0).sum(-1) + wob
-    y_lo = np.floor(lo).astype(np.int64) + geo["t_lo"] - 2
-    y_hi = np.ceil(hi).astype(np.int64) + geo["t_hi"] + 1
+    y_lo = np.floor(lo).astype(np.int64) + geo["t_lo"] - 1
+    y_hi = np.ceil(hi).astype(np.int64) + geo["t_hi"]
     return hz, y_lo, y_hi
 
 
@@ -339,13 +343,13 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
     t_lo, t_hi = geo["t_lo"], geo["t_hi"]
 
     span_z = np.abs(A[:, :, 0, :3]) @ e_all.T         # (36, N, P)
-    hz_r = np.ceil(span_z).astype(np.int64) + tapspan + 3
+    hz_r = np.ceil(span_z).astype(np.int64) + tapspan + 2
     wob = np.abs(geo["kappa"]) * float(t_hi)          # (36, N, 4)
     lo_b = (np.minimum(geo["res"], 0.0) @ e_all.T
             - wob[..., None])                         # (36, N, 4, P)
     hi_b = np.maximum(geo["res"], 0.0) @ e_all.T + wob[..., None]
-    ylo_r = np.floor(lo_b).astype(np.int64) + t_lo - 2
-    yhi_r = np.ceil(hi_b).astype(np.int64) + t_hi + 1
+    ylo_r = np.floor(lo_b).astype(np.int64) + t_lo - 1
+    yhi_r = np.ceil(hi_b).astype(np.int64) + t_hi
 
     hz_raw = hz_r.max(1)                              # (36, P)
     if quantize:
@@ -362,7 +366,7 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
     ycand = (hy + 7) // 8
 
     span0 = np.einsum("cj,pmj->cpm", aaE[:, 0, :3], E_all)
-    w0 = (np.ceil(span0).astype(np.int64) + tapspan + 4
+    w0 = (np.ceil(span0).astype(np.int64) + tapspan + 3
           + (hz - hz_raw)[:, :, None])                # (36, P, M)
     w0 = np.maximum(w0, hz[:, :, None])
     if quantize:
@@ -475,7 +479,7 @@ def walk_variant_covers(v: WalkVariant, matrix, vol_shape,
             return False
         aa = np.abs(a)
         need_w0 = (int(math.ceil(sum(aa[0, i] * E[i] for i in range(3))))
-                   + tapspan + 4 + (v.hz - hz))
+                   + tapspan + 3 + (v.hz - hz))
         if min(need_w0, d0) > v.w0:
             return False
         res = [abs(a[1, i] - kappa * a[0, i]) for i in range(3)]
@@ -586,22 +590,6 @@ def fit_walk_variant(matrix, vol_shape, interpolation: str, mode: str,
     return best, best_cost
 
 
-class _MatView:
-    """Cached scalar-read view of the SMEM matrix payload: ``m[r, c]`` reads
-    ``ref[r, c]`` (unbatched) or ``ref[bi, r, c]`` (batched), memoized so
-    repeated uses emit one SMEM load."""
-
-    def __init__(self, ref, bi=None):
-        self._ref, self._bi, self._cache = ref, bi, {}
-
-    def __getitem__(self, rc):
-        if rc not in self._cache:
-            r, c = rc
-            if self._bi is None:
-                self._cache[rc] = self._ref[r, c]
-            else:
-                self._cache[rc] = self._ref[self._bi, r, c]
-        return self._cache[rc]
 
 
 def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False,
@@ -666,8 +654,9 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False,
         a = _MatView(mat_ref, bi)  # (4,4) permuted matrix + payload row
 
         # walk/window z start: lowest tap is floor(zf) + taps[0], minus one
-        # slot of floor rounding and one of f32 skew
-        zoff = taps[0] - 2
+        # slot for a downward f32 scalar-vs-vector floor flip (an upward
+        # flip at the top carries ~ulp tap weight and needs no slot)
+        zoff = taps[0] - 1
 
         def zorg_of(am, ub, vbase, wbase):
             zc = (am[0, 0] * ub + am[0, 1] * vbase + am[0, 2] * wbase
@@ -912,39 +901,47 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False,
                     term = jnp.where(zt == zk, wzs[iz], 0.0)
                     wplane = term if wplane is None else wplane + term
 
-                # y-band rows, x-gathered at the dx slots
-                gx = {}
+                # Per candidate sub-vreg of the band: lane-gather each dx
+                # slot and fold it into the per-y-tap accumulators
+                # IMMEDIATELY.  Holding all ycand*ndx gathered vregs live
+                # before the y stage (the previous structure) measured
+                # ~quadratic in ndx -- scheduling/spill pressure -- while
+                # this gather-and-consume ordering keeps one gathered vreg
+                # plus ntaps accumulators live.
+                hits = [None] * len(ytaps)
                 for c in range(ycand):
                     rows = [win_ref[slot, b, zk - o0,
                                     pl.ds(yb_k - o1 + c * 8, 8), :]
                             for b in range(nbw)]
+                    mcs, moks = [], []
+                    for iy, (yt, _) in enumerate(ytaps):
+                        m = (yt - yb_k) - c * 8
+                        mcs.append(jnp.clip(m, 0, 7))
+                        moks.append((m >= 0) & (m < 8) if ycand > 1
+                                    else None)
+                    parts = [None] * len(ytaps)
                     for dx in dxs:
                         _, within = xparts[dx]
-                        g_acc = jnp.take_along_axis(rows[0], within, axis=1)
+                        g = jnp.take_along_axis(rows[0], within, axis=1)
                         for b in range(1, nbw):
                             gat = jnp.take_along_axis(rows[b], within,
                                                       axis=1)
-                            g_acc = jnp.where(bmask[dx][b - 1], gat, g_acc)
-                        gx[(c, dx)] = g_acc
-
-                # y taps: range-8 sublane gathers within the band
+                            g = jnp.where(bmask[dx][b - 1], gat, g)
+                        wf = wfold[dx]
+                        for iy in range(len(ytaps)):
+                            p = wf * jnp.take_along_axis(g, mcs[iy],
+                                                         axis=0)
+                            parts[iy] = p if parts[iy] is None \
+                                else parts[iy] + p
+                    for iy in range(len(ytaps)):
+                        part = parts[iy]
+                        if moks[iy] is not None:
+                            part = jnp.where(moks[iy], part, 0.0)
+                        hits[iy] = part if hits[iy] is None \
+                            else hits[iy] + part
                 val = None
-                for iy, (yt, _) in enumerate(ytaps):
-                    yrel = yt - yb_k
-                    hit = None
-                    for c in range(ycand):
-                        m = yrel - c * 8
-                        mc = jnp.clip(m, 0, 7)
-                        part = None
-                        for dx in dxs:
-                            p = wfold[dx] * jnp.take_along_axis(
-                                gx[(c, dx)], mc, axis=0)
-                            part = p if part is None else part + p
-                        if ycand > 1:
-                            mok = (m >= 0) & (m < 8)
-                            part = jnp.where(mok, part, 0.0)
-                        hit = part if hit is None else hit + part
-                    term = wys[iy] * hit
+                for iy in range(len(ytaps)):
+                    term = wys[iy] * hits[iy]
                     val = term if val is None else val + term
                 return acc + wplane * val
 

@@ -178,9 +178,8 @@ def plan_batch_sampler(plan: Plan, n: int, cval: float = 0.0,
     has a leading matrix dimension and whose per-matrix geometry rides in
     SMEM payloads -- composed eagerly with the cached un-blocker, so the
     Mosaic binary is shared across every group with the same canonical
-    form.  Select-tree plans map their per-variant kernel inside one jit."""
-    import jax
-
+    form.  Select-tree plans use their own grid-batched runner (same
+    leading-batch-grid scheme, raw matrices as payloads)."""
     if isinstance(plan, WalkVariant):
         from .pallas_walk import (_unblocker, _walk_runner,
                                   canonical_walk_variant)
@@ -194,13 +193,8 @@ def plan_batch_sampler(plan: Plan, n: int, cval: float = 0.0,
 
         return run
 
-    def run_tree(prepared, matrices):
-        return jax.lax.map(
-            lambda m: affine_sample_pallas_variant(prepared, m, plan, cval,
-                                                   interpret=interpret),
-            matrices)
-
-    return jax.jit(run_tree)
+    from .pallas_affine import _tree_runner
+    return _tree_runner(plan, float(cval), n, bool(interpret))
 
 
 def plan_payload(matrix, plan: Plan):
