@@ -390,13 +390,16 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
     best = None
     best_cost = np.inf
     if ok.any():
-        # measurement-calibrated cost model (exp_r3_walkprofile, 250^3
-        # linear): per-vreg-plane compute ~= 2.16 * ycand * ndx^1.5 ns,
-        # scaled by ntaps/2 for cubic; the window DMA pipelines behind the
+        # measurement-calibrated cost model (exp_r3_walkprofile +
+        # exp_r3_measure, 250^3): per-vreg-plane compute ~= 2.16 * ycand *
+        # ndx^1.5 ns.  The lane gathers dominate (sublane takes/fma are
+        # ~free), so cubic's extra taps cost only ~11% (measured 2.4 vs
+        # 2.16 ns units), not 2x.  The window DMA pipelines behind the
         # compute, so it only costs where it exceeds the overlap headroom.
         nd = ndx0[:, None, None, None].astype(np.float64)
+        tapf = 1.0 if ntaps == 2 else 1.11
         per_plane = (2.16 * ycand[..., None] * nd ** 1.5
-                     * (ntaps / 2.0) * nbw[:, None])          # ns/vreg/plane
+                     * tapf * nbw[:, None])                   # ns/vreg/plane
         per_vreg = (hz_c[:, None, :, None] * per_plane
                     + 30.0)                                   # ns/vreg
         dma = ((w0[:, None] * w1 * xw[:, None] * 4.0) / guv / 750.0
@@ -501,9 +504,9 @@ def _variant_cost(v: WalkVariant) -> float:
     against the fresh per-matrix optimum).  Calibration:
     exp_r3_walkprofile at 250^3 linear — per-vreg-plane compute
     ~= 2.16 * ycand * ndx^1.5 ns, DMA overlapped behind compute."""
-    ntaps = 2 if v.order == 1 else 4
     ndx = len(v.dxs)
-    per_plane = 2.16 * v.ycand * ndx ** 1.5 * (ntaps / 2.0) * v.nbw
+    tapf = 1.0 if v.order == 1 else 1.11
+    per_plane = 2.16 * v.ycand * ndx ** 1.5 * tapf * v.nbw
     per_vreg = v.hz * per_plane + 30.0
     nvregs = (v.out_d[0] * v.out_d[1] * v.out_d[2]) / 1024.0
     dma = ((v.w0 * v.w1 * v.xw * 4.0) / (v.gu * v.gv) / 750.0
