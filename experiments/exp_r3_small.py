@@ -6,7 +6,13 @@ the reference's static_vol_out workload at the sizes where its texture
 unit posts 0.057/0.092/0.40 ms.  Small kernels need long chains for slope
 resolution: iters scales inversely with volume.
 
-Usage: python -u experiments/exp_r3_small.py [n_rot] [size ...]
+Usage: python -u experiments/exp_r3_small.py [n_rot] [size ...] [--sticky]
+
+``--sticky`` uses the production sticky planner (compiled-binary reuse via
+canonical matching, ~8-11 compiles per 100 rotations instead of 100) --
+the steady-state cost a real sweep pays, cheap enough for n_rot=100.
+Default is tight per-matrix plans (one compile each), matching the
+baseline's one-kernel-per-configuration setup.
 """
 
 import sys
@@ -29,8 +35,10 @@ def main():
                                               plan_sample_prepared)
     from voltools_tpu.utils import transform_matrix
 
-    n_rot = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    sizes = [int(a) for a in sys.argv[2:]] or [25, 50, 100]
+    argv = [a for a in sys.argv[1:] if a != "--sticky"]
+    sticky = 3.0 if "--sticky" in sys.argv else None
+    n_rot = int(argv[0]) if argv else 100
+    sizes = [int(a) for a in argv[1:]] or [25, 50, 100]
 
     for size in sizes:
         iters = max(16, int(2 ** np.ceil(np.log2(4e5 / size ** 2))))
@@ -44,7 +52,7 @@ def main():
             m = transform_matrix(rotation=tuple(ang), rotation_order="sxyz",
                                  center=center)
             plan = choose_plan(m, vol.shape, "linear", "constant",
-                               sticky=None)
+                               sticky=sticky)
             if plan is None:
                 print(f"{size:>4} {i:>3} XLA-fallback", flush=True)
                 continue
@@ -84,6 +92,8 @@ def main():
               f"mean {np.mean(times) * 1e3:.1f} us  "
               f"median {np.median(times) * 1e3:.1f}  "
               f"worst {max(times) * 1e3:.1f}  kinds={kinds}", flush=True)
+        print(f"size {size} per-rotation us: "
+              + " ".join(f"{t * 1e3:.0f}" for t in times), flush=True)
 
 
 if __name__ == "__main__":
