@@ -62,7 +62,10 @@ _SLOP_LIMIT = 6.0      # |x| drift across the 8 sublanes (dx slots cover it)
 _VMEM_BUDGET = 11 << 20
 _PACKINGS = ((1, 128), (2, 64), (4, 32), (8, 16))
 _MACROS = ((1, 8), (2, 4), (1, 4), (2, 2), (4, 2),
-           (2, 8), (4, 4), (8, 2), (4, 8), (8, 4))
+           (2, 8), (4, 4), (8, 2), (4, 8), (8, 4),
+           # low-padding macros: whole-resident mode pays no per-macro DMA,
+           # so the grid can run vreg-sized tiles without a redundancy tax
+           (1, 1), (1, 2), (2, 1))
 
 # Parameter quantization ladders.  A compiled kernel depends on the variant's
 # geometric parameters but NOT on the axis permutations (ps/po only permute
@@ -109,6 +112,11 @@ class WalkVariant:
     xpad: int = 0                # mirror planes added per x side (d covers
                                  # them): lets constant-cubic taps stay in
                                  # range without extra mirror gather slots
+    whole: bool = False          # whole-resident mode: the full prepared
+                                 # volume fits VMEM, DMA'd ONCE at grid step
+                                 # 0 (w0=d[0], w1=d[1], xw=dx_pad) -- kills
+                                 # the per-macro window redundancy that
+                                 # dominates small volumes
 
     @property
     def nbw(self) -> int:
@@ -387,9 +395,33 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
     win_bytes = _PIPELINE_DEPTH * w0[:, None] * w1 * xw[:, None] * 4
     ok = ok0[..., None] & (hy[..., None] <= w1) & (win_bytes <= _VMEM_BUDGET)
 
+    # padded output vreg count per (perm, packing, macro): the grid covers
+    # ceil-rounded macro tiles, so the kernel resolves THESE vregs, not
+    # o0*o1*o2/1024 -- at small sizes padding is a 1.2-1.6x real cost the
+    # model must see to pick low-padding packings/macros
+    gus = np.array([gu for gu, gv in _MACROS])        # (M,)
+    gvs = np.array([gv for gu, gv in _MACROS])
+    vbs = np.array([vb for vb, wb in _PACKINGS])      # (P,)
+    wbs = np.array([wb for vb, wb in _PACKINGS])
+    u_vregs = (-(-o0[:, None, None] // (8 * gus)) * gus)        # (36,1,M)
+    v_vregs = (-(-o1[:, None, None] // (vbs[:, None] * gvs))
+               * gvs)                                           # (36,P,M)
+    w_vregs = -(-o2[:, None, None] // wbs[:, None])             # (36,P,1)
+    npad = (u_vregs * v_vregs * w_vregs).astype(np.float64)     # (36,P,M)
+
+    # whole-resident mode: the full prepared volume fits one VMEM slot --
+    # DMA it once at grid step 0, no per-macro windows, no pipelining.
+    # Small volumes otherwise pay a >10x window-redundancy DMA tax.
+    xww = dx_pad                                       # (36,)
+    nbww = xww // 128
+    whole_bytes = (d0 * d1 * xww * 4).astype(np.float64)
+    whole_fits = ((whole_bytes <= _VMEM_BUDGET)[:, None, None]
+                  & (hy <= d1[:, None, None]))         # (36,4,P)
+    ok_w = ok0 & whole_fits
+
     best = None
     best_cost = np.inf
-    if ok.any():
+    if ok.any() or ok_w.any():
         # measurement-calibrated cost model (exp_r3_walkprofile +
         # exp_r3_measure, 250^3): per-vreg-plane compute ~= 2.16 * ycand *
         # ndx^1.5 ns.  The lane gathers dominate (sublane takes/fma are
@@ -398,31 +430,65 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
         # compute, so it only costs where it exceeds the overlap headroom.
         nd = ndx0[:, None, None, None].astype(np.float64)
         tapf = 1.0 if ntaps == 2 else 1.11
+        # the 5.5*ycand floor is the per-plane work that does NOT scale
+        # with nbw (dynamic row slices, weight folds) -- calibrated at
+        # nbw=1 from exp_r3_wholecal (50^3/100^3 hardware sweep)
         per_plane = (2.16 * ycand[..., None] * nd ** 1.5
-                     * tapf * nbw[:, None])                   # ns/vreg/plane
+                     * tapf * nbw[:, None]
+                     + 5.5 * ycand[..., None])                # ns/vreg/plane
         per_vreg = (hz_c[:, None, :, None] * per_plane
                     + 30.0)                                   # ns/vreg
         dma = ((w0[:, None] * w1 * xw[:, None] * 4.0) / guv / 750.0
                + 300.0 * nbw[:, None] / guv)                  # ns/vreg
         tot = (np.maximum(per_vreg, dma)
                + 0.25 * np.minimum(per_vreg, dma))
-        cost = np.where(ok, tot * nvregs[:, None, None, None], np.inf)
+        cost = np.where(ok, tot * npad[:, None], np.inf)
+
+        # whole-mode cost: same per-vreg compute with nbw=nbww, plus the
+        # one-time volume DMA (no overlap term: it's serial at step 0)
+        per_plane_w = (2.16 * ycand[..., None] * nd ** 1.5 * tapf
+                       * nbww[:, None, None, None].astype(np.float64)
+                       + 5.5 * ycand[..., None])
+        per_vreg_w = hz_c[:, None, :, None] * per_plane_w + 30.0
+        cost_w = np.where(
+            ok_w[..., None],
+            per_vreg_w * npad[:, None]
+            + (whole_bytes / 750.0
+               + 300.0 * nbww)[:, None, None, None], np.inf)
+
         ci = int(np.argmin(cost))
-        pq, ki, pi, mi = np.unravel_index(ci, cost.shape)
-        best_cost = float(cost[pq, ki, pi, mi])
+        cwi = int(np.argmin(cost_w))
+        use_whole = float(cost_w.flat[cwi]) < float(cost.flat[ci])
+        pq, ki, pi, mi = np.unravel_index(cwi if use_whole else ci,
+                                          cost.shape)
+        best_cost = float((cost_w if use_whole else cost)[pq, ki, pi, mi])
         ps, po = _PERMS[pq // 6], _PERMS[pq % 6]
         vb, wb = _PACKINGS[pi]
         gu, gv = _MACROS[mi]
-        best = WalkVariant(
-            ps=ps, po=po, vb=vb, wb=wb, gu=gu, gv=gv,
-            w0=int(w0[pq, pi, mi]), w1=int(w1[pq, ki, pi, mi]),
-            hz=int(hz_c[pq, pi]), hy=int(hy[pq, ki, pi]), kax=_KAXES[ki],
-            d=(int(d0[pq]), int(d1[pq]), int(d2[pq])),
-            xg=int(xg[pq, pi, mi]), xw=int(xw[pq, pi, mi]),
-            out_d=(int(o0[pq]), int(o1[pq]), int(o2[pq])),
-            order=order, mode=mode, slop_lo=int(slop_lo[pq]),
-            slop_hi=int(slop_hi[pq]), y_lo=int(y_lo[pq, ki, pi]),
-            xpad=xpad)
+        if use_whole:
+            best = WalkVariant(
+                ps=ps, po=po, vb=vb, wb=wb, gu=gu, gv=gv,
+                w0=int(d0[pq]), w1=int(d1[pq]),
+                hz=int(hz_c[pq, pi]), hy=int(hy[pq, ki, pi]),
+                kax=_KAXES[ki],
+                d=(int(d0[pq]), int(d1[pq]), int(d2[pq])),
+                xg=128, xw=int(xww[pq]),
+                out_d=(int(o0[pq]), int(o1[pq]), int(o2[pq])),
+                order=order, mode=mode, slop_lo=int(slop_lo[pq]),
+                slop_hi=int(slop_hi[pq]), y_lo=int(y_lo[pq, ki, pi]),
+                xpad=xpad, whole=True)
+        else:
+            best = WalkVariant(
+                ps=ps, po=po, vb=vb, wb=wb, gu=gu, gv=gv,
+                w0=int(w0[pq, pi, mi]), w1=int(w1[pq, ki, pi, mi]),
+                hz=int(hz_c[pq, pi]), hy=int(hy[pq, ki, pi]),
+                kax=_KAXES[ki],
+                d=(int(d0[pq]), int(d1[pq]), int(d2[pq])),
+                xg=int(xg[pq, pi, mi]), xw=int(xw[pq, pi, mi]),
+                out_d=(int(o0[pq]), int(o1[pq]), int(o2[pq])),
+                order=order, mode=mode, slop_lo=int(slop_lo[pq]),
+                slop_hi=int(slop_hi[pq]), y_lo=int(y_lo[pq, ki, pi]),
+                xpad=xpad)
     if best is not None and not walk_variant_covers(
             best, matrices, vol_shape, interpolation, mode,
             out_shape=out_shape):
@@ -506,9 +572,15 @@ def _variant_cost(v: WalkVariant) -> float:
     ~= 2.16 * ycand * ndx^1.5 ns, DMA overlapped behind compute."""
     ndx = len(v.dxs)
     tapf = 1.0 if v.order == 1 else 1.11
-    per_plane = 2.16 * v.ycand * ndx ** 1.5 * tapf * v.nbw
+    per_plane = (2.16 * v.ycand * ndx ** 1.5 * tapf * v.nbw
+                 + 5.5 * v.ycand)
     per_vreg = v.hz * per_plane + 30.0
-    nvregs = (v.out_d[0] * v.out_d[1] * v.out_d[2]) / 1024.0
+    U, V, W = v.out_d
+    nvregs = (-(-U // (8 * v.gu)) * v.gu * -(-V // (v.vb * v.gv)) * v.gv
+              * -(-W // v.wb))
+    if v.whole:
+        return (per_vreg * nvregs
+                + (v.w0 * v.w1 * v.xw * 4.0) / 750.0 + 300.0 * v.nbw)
     dma = ((v.w0 * v.w1 * v.xw * 4.0) / (v.gu * v.gv) / 750.0
            + 300.0 * v.nbw / (v.gu * v.gv))
     return (max(per_vreg, dma) + 0.25 * min(per_vreg, dma)) * nvregs
@@ -624,7 +696,8 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False,
     xpad = v.xpad
     ycand = v.ycand
     wsh = wb.bit_length() - 1   # wb is a power of two
-    depth = _PIPELINE_DEPTH
+    whole = v.whole
+    depth = 1 if whole else _PIPELINE_DEPTH
 
     if interpret:
         # XLA:CPU may rematerialize a scalar floor() into several fusions
@@ -749,35 +822,60 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False,
         ubt = (ui * (8 * gu)).astype(jnp.float32)
         vbt = (vi * (vb * gv)).astype(jnp.float32)
         wbt = (wi * wb).astype(jnp.float32)
-        o0, o1, tx = origins(a, ubt, vbt, wbt)
+        if whole:
+            # whole-resident window: the full prepared volume is copied into
+            # the single VMEM slot ONCE (grid steps run sequentially on TPU,
+            # so the step-0 wait covers every later read)
+            o0 = 0
+            o1 = 0
+            tx = 0
+            slot = 0
+            # Pre-read the runtime payload scalars in the OUTER kernel
+            # trace: _MatView memoizes SMEM reads, and without origins()
+            # the first read of row 3 otherwise happens inside the
+            # interpret-mode fori body, leaking inner tracers into the
+            # kernel jaxpr as captured constants.
+            _ = (a[3, 0], a[3, 1])
 
-        @pl.when(step == 0)
-        def _():
-            start_window_dma(0, o0, o1, tx)
-            # slots 1..depth-2 prefetch here; slot depth-1 comes from the
-            # generic start below (starting it here too would double-start)
-            for j in range(1, depth - 1):
-                t = jnp.int32(j)
-
-                @pl.when(t < total)
-                def _(t=t, j=j):
-                    am, bb = step_state(t)
-                    start_window_dma(j, *origins(am, *bb))
-
-        @pl.when(step + depth - 1 < total)
-        def _():
-            t = step + depth - 1
-            am, bb = step_state(t)
-            start_window_dma(jax.lax.rem(t, depth), *origins(am, *bb))
-
-        if dyn_x:
-            ci_w, b0_w = tx % ncopies, tx // ncopies
+            @pl.when(step == 0)
+            def _():
+                start_window_dma(0, o0, o1, tx)
+                for j in range(nbw):
+                    src = vol_hbm.at[0, pl.ds(o0, w0), pl.ds(o1, w1), j]
+                    pltpu.make_async_copy(src, win_ref.at[0, j],
+                                          sem.at[0, j]).wait()
         else:
-            ci_w, b0_w = jnp.int32(0), jnp.int32(0)
-        for j in range(nbw):
-            src = vol_hbm.at[ci_w, pl.ds(o0, w0), pl.ds(o1, w1), b0_w + j]
-            pltpu.make_async_copy(src, win_ref.at[slot, j],
-                                  sem.at[slot, j]).wait()
+            o0, o1, tx = origins(a, ubt, vbt, wbt)
+
+            @pl.when(step == 0)
+            def _():
+                start_window_dma(0, o0, o1, tx)
+                # slots 1..depth-2 prefetch here; slot depth-1 comes from
+                # the generic start below (starting it here too would
+                # double-start)
+                for j in range(1, depth - 1):
+                    t = jnp.int32(j)
+
+                    @pl.when(t < total)
+                    def _(t=t, j=j):
+                        am, bb = step_state(t)
+                        start_window_dma(j, *origins(am, *bb))
+
+            @pl.when(step + depth - 1 < total)
+            def _():
+                t = step + depth - 1
+                am, bb = step_state(t)
+                start_window_dma(jax.lax.rem(t, depth), *origins(am, *bb))
+
+            if dyn_x:
+                ci_w, b0_w = tx % ncopies, tx // ncopies
+            else:
+                ci_w, b0_w = jnp.int32(0), jnp.int32(0)
+            for j in range(nbw):
+                src = vol_hbm.at[ci_w, pl.ds(o0, w0), pl.ds(o1, w1),
+                                 b0_w + j]
+                pltpu.make_async_copy(src, win_ref.at[slot, j],
+                                      sem.at[slot, j]).wait()
 
         s_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         l_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
@@ -1090,6 +1188,7 @@ def _walk_runner(vc: WalkVariant, cval: float, interpret: bool,
             return (vv, w, u, 0)
 
     kernel = _make_walk_kernel(v, cval, interpret, batch)
+    depth = 1 if v.whole else _PIPELINE_DEPTH
 
     def run(vol_s, cols):
         return pl.pallas_call(
@@ -1102,10 +1201,10 @@ def _walk_runner(vc: WalkVariant, cval: float, interpret: bool,
             out_specs=pl.BlockSpec(block, index_map,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
-            scratch_shapes=[pltpu.VMEM((_PIPELINE_DEPTH, v.nbw, v.w0,
+            scratch_shapes=[pltpu.VMEM((depth, v.nbw, v.w0,
                                         v.w1, 128), jnp.float32),
                             pltpu.SemaphoreType.DMA(
-                                (_PIPELINE_DEPTH, v.nbw))],
+                                (depth, v.nbw))],
             interpret=interpret,
         )(cols, vol_s)
 
