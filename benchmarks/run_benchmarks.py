@@ -92,6 +92,8 @@ def plan_bytes(plan, out_voxels):
         U, V, W = plan.out_d
         nwin = ((-(-U // (8 * plan.gu))) * (-(-V // (plan.vb * plan.gv)))
                 * (-(-W // plan.wb)))
+        if plan.whole:   # whole-resident: the volume is DMA'd exactly once
+            nwin = 1
         win = nwin * plan.nbw * plan.w0 * plan.w1 * 128 * 4
         return win + 3 * out_bytes
     og, os_, ol = plan.out_d

@@ -244,3 +244,26 @@ def test_planner_tiers(volume):
     m_tiny = random_rotation(21, (5, 5, 5))
     plan = choose_plan(m_tiny, (5, 5, 5), "linear")
     assert plan is None or isinstance(plan, Variant)
+
+
+def test_topk_candidates_diverse_and_covering(volume):
+    """topk>1 returns structurally-diverse coverage-validated variants,
+    cheapest modeled first (the enumeration behind best-of-K autotune)."""
+    from voltools_tpu.kernels.pallas_walk import _variant_cost
+
+    shape = volume.shape
+    m = random_rotation(7, shape)
+    cands = choose_walk_variant(m, shape, "linear", "constant",
+                                topk=4, quantize=False)
+    assert isinstance(cands, list) and 1 <= len(cands) <= 4
+    keys = {(v.ps, v.po, v.vb, v.wb, v.kax, v.whole) for v in cands}
+    assert len(keys) == len(cands)          # structural diversity
+    costs = [_variant_cost(v) for v in cands]
+    for v in cands:
+        assert walk_variant_covers(v, m, shape, "linear", "constant")
+    # candidates stay within the autotune gate of the modeled optimum
+    assert max(costs) <= 1.6 * min(costs) + 1e-6
+
+    # degenerate shape: empty list, not None
+    assert choose_walk_variant(np.eye(4, dtype=np.float32), (1, 1, 1),
+                               "linear", "constant", topk=3) == []

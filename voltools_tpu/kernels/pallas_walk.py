@@ -281,8 +281,13 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
                         mode: str = "constant", known=(),
                         sticky: float = 1.35,
                         out_shape=None,
-                        quantize: bool = True) -> Optional[WalkVariant]:
+                        quantize: bool = True,
+                        topk: int = 1) -> Optional[WalkVariant]:
     """Pick the cheapest (axes, packing, macro) assignment for the kernel.
+
+    ``topk > 1`` returns a LIST of up to topk coverage-validated variants
+    with distinct Mosaic binaries, cheapest modeled first (for empirical
+    best-of-K autotune); ``known``/``sticky`` are ignored in that mode.
 
     ``known`` is a collection of already-compiled canonical variants; when
     one of them covers the matrix under some permutation at a cost within
@@ -456,39 +461,66 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
             + (whole_bytes / 750.0
                + 300.0 * nbww)[:, None, None, None], np.inf)
 
-        ci = int(np.argmin(cost))
-        cwi = int(np.argmin(cost_w))
-        use_whole = float(cost_w.flat[cwi]) < float(cost.flat[ci])
-        pq, ki, pi, mi = np.unravel_index(cwi if use_whole else ci,
-                                          cost.shape)
-        best_cost = float((cost_w if use_whole else cost)[pq, ki, pi, mi])
-        ps, po = _PERMS[pq // 6], _PERMS[pq % 6]
-        vb, wb = _PACKINGS[pi]
-        gu, gv = _MACROS[mi]
-        if use_whole:
-            best = WalkVariant(
+        def _build(flat_i, use_whole):
+            pq, ki, pi, mi = np.unravel_index(flat_i, cost.shape)
+            ps, po = _PERMS[pq // 6], _PERMS[pq % 6]
+            vb, wb = _PACKINGS[pi]
+            gu, gv = _MACROS[mi]
+            common = dict(
                 ps=ps, po=po, vb=vb, wb=wb, gu=gu, gv=gv,
-                w0=int(d0[pq]), w1=int(d1[pq]),
                 hz=int(hz_c[pq, pi]), hy=int(hy[pq, ki, pi]),
                 kax=_KAXES[ki],
                 d=(int(d0[pq]), int(d1[pq]), int(d2[pq])),
-                xg=128, xw=int(xww[pq]),
-                out_d=(int(o0[pq]), int(o1[pq]), int(o2[pq])),
-                order=order, mode=mode, slop_lo=int(slop_lo[pq]),
-                slop_hi=int(slop_hi[pq]), y_lo=int(y_lo[pq, ki, pi]),
-                xpad=xpad, whole=True)
-        else:
-            best = WalkVariant(
-                ps=ps, po=po, vb=vb, wb=wb, gu=gu, gv=gv,
-                w0=int(w0[pq, pi, mi]), w1=int(w1[pq, ki, pi, mi]),
-                hz=int(hz_c[pq, pi]), hy=int(hy[pq, ki, pi]),
-                kax=_KAXES[ki],
-                d=(int(d0[pq]), int(d1[pq]), int(d2[pq])),
-                xg=int(xg[pq, pi, mi]), xw=int(xw[pq, pi, mi]),
                 out_d=(int(o0[pq]), int(o1[pq]), int(o2[pq])),
                 order=order, mode=mode, slop_lo=int(slop_lo[pq]),
                 slop_hi=int(slop_hi[pq]), y_lo=int(y_lo[pq, ki, pi]),
                 xpad=xpad)
+            if use_whole:
+                return WalkVariant(w0=int(d0[pq]), w1=int(d1[pq]),
+                                   xg=128, xw=int(xww[pq]), whole=True,
+                                   **common)
+            return WalkVariant(w0=int(w0[pq, pi, mi]),
+                               w1=int(w1[pq, ki, pi, mi]),
+                               xg=int(xg[pq, pi, mi]),
+                               xw=int(xw[pq, pi, mi]), **common)
+
+        if topk > 1:
+            # best-of-K enumeration for empirical autotune: the K cheapest
+            # configs with DISTINCT Mosaic binaries (canonical form + data
+            # layout), each coverage-validated.  Model error is ~±10-20%,
+            # so measuring a few near-optimal configs on device recovers it.
+            flat = np.concatenate([cost.ravel(), cost_w.ravel()])
+            cands = []
+            seen = set()
+            order_i = np.argsort(flat)
+            cutoff = 1.6 * float(flat[order_i[0]]) if order_i.size else 0.0
+            for fi in order_i:
+                # require STRUCTURAL diversity (axes/packing/kax/mode, not
+                # just macro tiling, which measures within ±5%) and stay
+                # within 1.6x of the modeled optimum — beyond that the
+                # model's error band can't flip the ranking
+                if (not np.isfinite(flat[fi]) or len(cands) >= topk
+                        or flat[fi] > cutoff):
+                    break
+                v = _build(int(fi) % cost.size, fi >= cost.size)
+                key = (v.ps, v.po, v.vb, v.wb, v.kax, v.whole)
+                if key in seen:
+                    continue
+                seen.add(key)
+                if walk_variant_covers(v, matrices, vol_shape,
+                                       interpolation, mode,
+                                       out_shape=out_shape):
+                    cands.append(v)
+            return cands
+
+        ci = int(np.argmin(cost))
+        cwi = int(np.argmin(cost_w))
+        use_whole = float(cost_w.flat[cwi]) < float(cost.flat[ci])
+        flat_i = cwi if use_whole else ci
+        best_cost = float((cost_w if use_whole else cost).flat[flat_i])
+        best = _build(flat_i, use_whole)
+    elif topk > 1:
+        return []
     if best is not None and not walk_variant_covers(
             best, matrices, vol_shape, interpolation, mode,
             out_shape=out_shape):

@@ -63,6 +63,72 @@ def choose_plan(matrix, vol_shape, interpolation: str,
                           out_shape=out_shape)
 
 
+def autotune_plan(volume, matrix, interpolation: str,
+                  mode: str = "constant", cval: float = 0.0,
+                  k: int = 3, iters: int = 33,
+                  out_shape=None) -> Optional[Plan]:
+    """Empirical best-of-``k`` plan selection: compile the k cheapest
+    MODELED walk configs (distinct Mosaic binaries) and keep the one that
+    measures fastest on the device.
+
+    The cost model carries ~±10-20% error, so measuring a few near-optimal
+    candidates recovers that band — worth it when the plan will be reused
+    many times (resident-volume sweeps, long-running services): each extra
+    candidate costs one Mosaic compile (~3-15 s, cached across processes
+    via the persistent compilation cache) plus ~``iters`` kernel runs.
+
+    Timing uses the chained-slope method (N dependent applications inside
+    one jit, minus the 1-iteration run) so it is valid even on remote-TPU
+    rigs where ``block_until_ready`` does not actually block.  Falls back
+    to :func:`choose_plan` when fewer than two walk candidates cover the
+    matrix.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    vol_shape = tuple(volume.shape)
+    cands = choose_walk_variant(matrix, vol_shape, interpolation, mode,
+                                out_shape=out_shape, quantize=False,
+                                topk=k)
+    if not cands:
+        return choose_plan(matrix, vol_shape, interpolation, mode,
+                           out_shape=out_shape, sticky=None)
+    if len(cands) == 1:
+        return cands[0]
+
+    def slope(plan):
+        prep = plan_prepare(volume, plan)
+
+        @jax.jit
+        def chained(n, p, mat):
+            def body(_, carry):
+                mm, acc = carry
+                out = plan_sample_prepared(p, mm, plan, cval)
+                probe = out[0, 0, 0] * jnp.float32(1e-38)
+                return mm + probe, acc + probe
+            mm, acc = jax.lax.fori_loop(0, n, body,
+                                        (mat, jnp.float32(0.0)))
+            return mm[0, 0] + acc
+
+        mj = jnp.asarray(np.asarray(matrix), jnp.float32)
+        float(chained(1, prep, mj))          # compile both trip counts
+        float(chained(iters, prep, mj))
+
+        def run(n):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(chained(n, prep, mj))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        return (run(iters) - run(1)) / (iters - 1)
+
+    return min(cands, key=slope)
+
+
 def plan_covers(plan: Plan, matrix, vol_shape, interpolation: str,
                 mode: str = "constant", out_shape=None) -> bool:
     """True when a compiled plan's envelope covers ``matrix``."""
