@@ -246,6 +246,45 @@ def test_planner_tiers(volume):
     assert plan is None or isinstance(plan, Variant)
 
 
+def test_walk_strip_windows_match_xla(volume):
+    """Band-following strip windows (cs>0): per cs-plane chunk the DMA
+    copies only the tile's band rows, and the kernel re-derives each
+    chunk's strip origin from the same SMEM scalars.  Forced here via a
+    stripified windowed variant (the model only picks strips where window
+    DMA dominates, which small interpret volumes never are)."""
+    import dataclasses
+    import math
+
+    from voltools_tpu.kernels.pallas_affine import _adjusted_matrix
+    from voltools_tpu.kernels.pallas_walk import _STRIP_CS, _geometry
+
+    shape = volume.shape
+    m = random_rotation(1, shape)
+    cands = choose_walk_variant(np.asarray(m, np.float32), shape,
+                                "bspline", "constant", topk=8,
+                                quantize=False)
+    base = next((v for v in cands if not v.whole), None)
+    assert base is not None, "expected a windowed candidate"
+    a = _adjusted_matrix(np.asarray(m, np.float64), base.ps, base.po)
+    _, _, _, _, kappa = _geometry(a, base.order, base.vb, base.wb,
+                                  base.kax)
+    E = (8.0 * base.gu - 1.0, base.vb * base.gv - 1.0, base.wb - 1.0)
+    res = [abs(a[1, i] - kappa * a[0, i]) for i in range(3)]
+    cs = _STRIP_CS
+    w0 = min(-cs * (-base.w0 // cs), base.d[0])
+    assert w0 % cs == 0
+    need = (int(math.ceil(sum(res[i] * E[i] for i in range(3))
+                          + abs(kappa) * (cs + 1))) + 3 + base.hy)
+    sh = min(-8 * (-need // 8), base.d[1])
+    v = dataclasses.replace(base, cs=cs, sh=sh, w1=sh, w0=w0)
+    assert walk_variant_covers(v, m, shape, "bspline", "constant")
+    assert v.nch >= 2
+
+    got = affine_sample_pallas_walk(volume, m, v, cval=0.0, interpret=True)
+    want = affine_sample(volume, m, "bspline", "constant", cval=0.0)
+    assert_close_off_edges(np.asarray(got), np.asarray(want), m)
+
+
 def test_topk_candidates_diverse_and_covering(volume):
     """topk>1 returns structurally-diverse coverage-validated variants,
     cheapest modeled first (the enumeration behind best-of-K autotune)."""
@@ -256,7 +295,7 @@ def test_topk_candidates_diverse_and_covering(volume):
     cands = choose_walk_variant(m, shape, "linear", "constant",
                                 topk=4, quantize=False)
     assert isinstance(cands, list) and 1 <= len(cands) <= 4
-    keys = {(v.ps, v.po, v.vb, v.wb, v.kax, v.whole) for v in cands}
+    keys = {(v.ps, v.po, v.vb, v.wb, v.kax, v.whole, v.cs) for v in cands}
     assert len(keys) == len(cands)          # structural diversity
     costs = [_variant_cost(v) for v in cands]
     for v in cands:

@@ -73,6 +73,7 @@ _MACROS = ((1, 8), (2, 4), (1, 4), (2, 2), (4, 2),
 # makes nearby matrices -- e.g. consecutive random rotations in a sweep --
 # share one Mosaic binary instead of recompiling per angle.
 _PIPELINE_DEPTH = 2   # in-flight window slots (scratch + kernel agree)
+_STRIP_CS = 8         # planes per band-following strip DMA chunk
 _HZ_STEP = 4
 _W_STEP = 8
 _YLO_STEP = 4
@@ -117,6 +118,20 @@ class WalkVariant:
                                  # 0 (w0=d[0], w1=d[1], xw=dx_pad) -- kills
                                  # the per-macro window redundancy that
                                  # dominates small volumes
+    cs: int = 0                  # strip-window chunk size (planes per
+                                 # band-following strip DMA); 0 = classic
+                                 # full-height windows.  Strips drop the
+                                 # kappa*(w0+1) y-sweep term from the
+                                 # window height (w1 -> sh), cutting both
+                                 # window bytes AND VMEM so bigger macro
+                                 # tiles fit -- the cubic regime is window-
+                                 # redundancy-bound without this.
+    sh: int = 0                  # strip height (rows per plane, mult of 8)
+
+    @property
+    def nch(self) -> int:
+        """strip chunks per window (cs > 0 only)"""
+        return self.w0 // self.cs if self.cs else 0
 
     @property
     def nbw(self) -> int:
@@ -461,7 +476,32 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
             + (whole_bytes / 750.0
                + 300.0 * nbww)[:, None, None, None], np.inf)
 
-        def _build(flat_i, use_whole):
+        # strip-window mode: per chunk of cs planes, DMA only the tile's
+        # band rows at that chunk (band-following).  Drops the
+        # kappa*(w0+1) y-sweep term from the window height, cutting both
+        # bytes and VMEM (so bigger macro tiles fit); costs nch x the DMA
+        # issue overhead.  The cubic regime is window-redundancy-bound
+        # without this (VMEM forces small macros there).
+        cs = _STRIP_CS
+        w0_s = -cs * (-w0 // cs)                              # (36,P,M)
+        sh = (np.ceil(np.einsum("ckj,pmj->ckpm", resM, E_all)
+                      + kapM[:, :, None, None] * (cs + 1.0))
+              .astype(np.int64) + 3 + hy[..., None])          # (36,K,P,M)
+        sh = np.minimum(-8 * (-sh // 8), d1[:, None, None, None])
+        nch = w0_s // cs
+        win_bytes_s = (_PIPELINE_DEPTH * w0_s[:, None] * sh
+                       * xw[:, None] * 4)
+        ok_s = (ok0[..., None] & (hy[..., None] <= sh)
+                & (w0_s <= d0[:, None, None])[:, None]
+                & (win_bytes_s <= _VMEM_BUDGET))
+        dma_s = ((w0_s[:, None] * sh * xw[:, None] * 4.0) / guv / 750.0
+                 + 300.0 * (nbw * nch)[:, None] / guv)        # ns/vreg
+        tot_s = (np.maximum(per_vreg, dma_s)
+                 + 0.25 * np.minimum(per_vreg, dma_s))
+        cost_s = np.where(ok_s, tot_s * npad[:, None], np.inf)
+
+        def _build(flat_i, kind):
+            # kind: 0 = classic window, 1 = whole-resident, 2 = strips
             pq, ki, pi, mi = np.unravel_index(flat_i, cost.shape)
             ps, po = _PERMS[pq // 6], _PERMS[pq % 6]
             vb, wb = _PACKINGS[pi]
@@ -475,10 +515,16 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
                 order=order, mode=mode, slop_lo=int(slop_lo[pq]),
                 slop_hi=int(slop_hi[pq]), y_lo=int(y_lo[pq, ki, pi]),
                 xpad=xpad)
-            if use_whole:
+            if kind == 1:
                 return WalkVariant(w0=int(d0[pq]), w1=int(d1[pq]),
                                    xg=128, xw=int(xww[pq]), whole=True,
                                    **common)
+            if kind == 2:
+                shv = int(sh[pq, ki, pi, mi])
+                return WalkVariant(w0=int(w0_s[pq, pi, mi]), w1=shv,
+                                   xg=int(xg[pq, pi, mi]),
+                                   xw=int(xw[pq, pi, mi]),
+                                   cs=cs, sh=shv, **common)
             return WalkVariant(w0=int(w0[pq, pi, mi]),
                                w1=int(w1[pq, ki, pi, mi]),
                                xg=int(xg[pq, pi, mi]),
@@ -489,7 +535,8 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
             # configs with DISTINCT Mosaic binaries (canonical form + data
             # layout), each coverage-validated.  Model error is ~±10-20%,
             # so measuring a few near-optimal configs on device recovers it.
-            flat = np.concatenate([cost.ravel(), cost_w.ravel()])
+            flat = np.concatenate([cost.ravel(), cost_w.ravel(),
+                                   cost_s.ravel()])
             cands = []
             seen = set()
             order_i = np.argsort(flat)
@@ -502,8 +549,8 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
                 if (not np.isfinite(flat[fi]) or len(cands) >= topk
                         or flat[fi] > cutoff):
                     break
-                v = _build(int(fi) % cost.size, fi >= cost.size)
-                key = (v.ps, v.po, v.vb, v.wb, v.kax, v.whole)
+                v = _build(int(fi) % cost.size, int(fi) // cost.size)
+                key = (v.ps, v.po, v.vb, v.wb, v.kax, v.whole, v.cs)
                 if key in seen:
                     continue
                 seen.add(key)
@@ -513,12 +560,13 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
                     cands.append(v)
             return cands
 
-        ci = int(np.argmin(cost))
-        cwi = int(np.argmin(cost_w))
-        use_whole = float(cost_w.flat[cwi]) < float(cost.flat[ci])
-        flat_i = cwi if use_whole else ci
-        best_cost = float((cost_w if use_whole else cost).flat[flat_i])
-        best = _build(flat_i, use_whole)
+        kinds = (cost, cost_w, cost_s)
+        kis = [int(np.argmin(c)) for c in kinds]
+        kind = int(np.argmin([float(c.flat[i])
+                              for c, i in zip(kinds, kis)]))
+        flat_i = kis[kind]
+        best_cost = float(kinds[kind].flat[flat_i])
+        best = _build(flat_i, kind)
     elif topk > 1:
         return []
     if best is not None and not walk_variant_covers(
@@ -528,9 +576,11 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
         # the scalar reference can flip a bound at an exact boundary; give
         # the envelope one slot of headroom and re-validate
         import dataclasses
+        new_w1 = (min(best.w1 + 8, best.d[1]) if best.cs else best.w1)
         best = dataclasses.replace(
             best, hz=min(best.hz + _HZ_STEP, best.d[0], best.w0),
-            hy=min(best.hy + 8, _MAX_HY, best.w1), y_lo=best.y_lo - 4)
+            hy=min(best.hy + 8, _MAX_HY, new_w1), y_lo=best.y_lo - 4,
+            w1=new_w1, sh=new_w1 if best.cs else best.sh)
         if not walk_variant_covers(best, matrices, vol_shape, interpolation,
                                    mode, out_shape=out_shape):
             best = None
@@ -584,8 +634,11 @@ def walk_variant_covers(v: WalkVariant, matrix, vol_shape,
         if min(need_w0, d0) > v.w0:
             return False
         res = [abs(a[1, i] - kappa * a[0, i]) for i in range(3)]
+        # strip windows follow the band per cs-plane chunk, so only the
+        # kappa sweep WITHIN a chunk widens them (vs the whole window)
+        ksweep = (v.cs + 1.0) if v.cs else (v.w0 + 1.0)
         need_w1 = (int(math.ceil(sum(res[i] * E[i] for i in range(3))
-                                 + abs(kappa) * (v.w0 + 1.0))) + 3 + v.hy)
+                                 + abs(kappa) * ksweep)) + 3 + v.hy)
         if min(need_w1, d1) > v.w1:
             return False
         if v.dyn_x:
@@ -613,8 +666,9 @@ def _variant_cost(v: WalkVariant) -> float:
     if v.whole:
         return (per_vreg * nvregs
                 + (v.w0 * v.w1 * v.xw * 4.0) / 750.0 + 300.0 * v.nbw)
+    ncopies = v.nbw * (v.nch if v.cs else 1)
     dma = ((v.w0 * v.w1 * v.xw * 4.0) / (v.gu * v.gv) / 750.0
-           + 300.0 * v.nbw / (v.gu * v.gv))
+           + 300.0 * ncopies / (v.gu * v.gv))
     return (max(per_vreg, dma) + 0.25 * min(per_vreg, dma)) * nvregs
 
 
@@ -668,7 +722,8 @@ def fit_walk_variant(matrix, vol_shape, interpolation: str, mode: str,
                      np.float32)
         need_w0 = (np.ceil(aaE[:, 0, :3] @ E).astype(np.int64)
                    + tapspan + 4 + (K.hz - hz_m))
-        need_w1 = (np.ceil(resM @ E + kapM * (K.w0 + 1.0)).astype(np.int64)
+        ksweep = (K.cs + 1.0) if K.cs else (K.w0 + 1.0)
+        need_w1 = (np.ceil(resM @ E + kapM * ksweep).astype(np.int64)
                    + 3 + K.hy)                           # (36, 4)
         dims_ok = ((dims[:, 0] == K.d[0]) & (dims[:, 1] == K.d[1])
                    & (dims[:, 2] + 2 * K.xpad == K.d[2])
@@ -730,6 +785,8 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False,
     wsh = wb.bit_length() - 1   # wb is a power of two
     whole = v.whole
     depth = 1 if whole else _PIPELINE_DEPTH
+    cs, sh, nch = v.cs, v.sh, v.nch
+    strips = cs > 0
 
     if interpret:
         # XLA:CPU may rematerialize a scalar floor() into several fusions
@@ -805,7 +862,10 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False,
                                    zorg_c + endk)
                         o1 = yb if o1 is None else jnp.minimum(o1, yb)
             o0 = _pin(jnp.clip(o0, 0, d0 - w0))
-            o1 = _pin(jnp.clip(o1, 0, d1 - w1))
+            if strips:
+                o1 = jnp.int32(0)   # strips follow the band per chunk
+            else:
+                o1 = _pin(jnp.clip(o1, 0, d1 - w1))
             if not dyn_x:
                 return o0, o1, jnp.int32(0)
             xlo = (am[2, 0] * ubt + am[2, 1] * vbt + am[2, 2] * wbt
@@ -819,15 +879,53 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False,
             tmax = (d2 - 1) // xg
             return o0, o1, _pin(jnp.clip(tx, 0, tmax))
 
-        def start_window_dma(slot, oo0, oo1, tt):
+        def strip_origins(am, ubt0, vbt0, wbt0, oo0):
+            """Per-chunk strip y origin: min of the band start over the
+            macro tile's corners at the chunk's end planes (the band line
+            is affine in the macro coords and in the plane index, so the
+            corners bound it), clipped into the volume."""
+            outs = []
+            for ch in range(nch):
+                lo = None
+                for cu in (0.0, float(8 * (gu - 1))):
+                    for cv in (0.0, float(vb * (gv - 1))):
+                        for pe in (0, cs - 1):
+                            p = oo0 + ch * cs + pe
+                            yb = yb_of(am, ubt0 + cu, vbt0 + cv, wbt0, p)
+                            lo = yb if lo is None else jnp.minimum(lo, yb)
+                outs.append(_pin(jnp.clip(lo, 0, d1 - sh)))
+            return outs
+
+        def window_copies(slot, am, bases):
+            """The slot's async-copy descriptors for the tile at ``bases``
+            (started by the prefetching step, waited by the consuming step;
+            both sides reconstruct identical descriptors from the same SMEM
+            scalars)."""
+            oo0, oo1, tt = origins(am, *bases)
             if dyn_x:
                 ci, b0 = tt % ncopies, tt // ncopies
             else:
                 ci, b0 = jnp.int32(0), jnp.int32(0)
-            for j in range(nbw):
-                src = vol_hbm.at[ci, pl.ds(oo0, w0), pl.ds(oo1, w1), b0 + j]
-                pltpu.make_async_copy(src, win_ref.at[slot, j],
-                                      sem.at[slot, j]).start()
+            cps = []
+            if strips:
+                for ch, s1 in enumerate(strip_origins(am, *bases, oo0)):
+                    for j in range(nbw):
+                        src = vol_hbm.at[ci, pl.ds(oo0 + ch * cs, cs),
+                                         pl.ds(s1, sh), b0 + j]
+                        dst = win_ref.at[slot, j, pl.ds(ch * cs, cs)]
+                        cps.append(pltpu.make_async_copy(
+                            src, dst, sem.at[slot, j, ch]))
+            else:
+                for j in range(nbw):
+                    src = vol_hbm.at[ci, pl.ds(oo0, w0), pl.ds(oo1, w1),
+                                     b0 + j]
+                    cps.append(pltpu.make_async_copy(
+                        src, win_ref.at[slot, j], sem.at[slot, j]))
+            return cps
+
+        def start_window_dma(slot, am, bases):
+            for cp in window_copies(slot, am, bases):
+                cp.start()
 
         step = (ui * nv + vi) * nw + wi
         if batch:
@@ -871,17 +969,23 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False,
 
             @pl.when(step == 0)
             def _():
-                start_window_dma(0, o0, o1, tx)
                 for j in range(nbw):
-                    src = vol_hbm.at[0, pl.ds(o0, w0), pl.ds(o1, w1), j]
+                    src = vol_hbm.at[0, pl.ds(0, w0), pl.ds(0, w1), j]
+                    cp = pltpu.make_async_copy(src, win_ref.at[0, j],
+                                               sem.at[0, j])
+                    cp.start()
+                for j in range(nbw):
+                    src = vol_hbm.at[0, pl.ds(0, w0), pl.ds(0, w1), j]
                     pltpu.make_async_copy(src, win_ref.at[0, j],
                                           sem.at[0, j]).wait()
         else:
             o0, o1, tx = origins(a, ubt, vbt, wbt)
+            if strips:
+                s1s = strip_origins(a, ubt, vbt, wbt, o0)
 
             @pl.when(step == 0)
             def _():
-                start_window_dma(0, o0, o1, tx)
+                start_window_dma(0, a, (ubt, vbt, wbt))
                 # slots 1..depth-2 prefetch here; slot depth-1 comes from
                 # the generic start below (starting it here too would
                 # double-start)
@@ -891,23 +995,16 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False,
                     @pl.when(t < total)
                     def _(t=t, j=j):
                         am, bb = step_state(t)
-                        start_window_dma(j, *origins(am, *bb))
+                        start_window_dma(j, am, bb)
 
             @pl.when(step + depth - 1 < total)
             def _():
                 t = step + depth - 1
                 am, bb = step_state(t)
-                start_window_dma(jax.lax.rem(t, depth), *origins(am, *bb))
+                start_window_dma(jax.lax.rem(t, depth), am, bb)
 
-            if dyn_x:
-                ci_w, b0_w = tx % ncopies, tx // ncopies
-            else:
-                ci_w, b0_w = jnp.int32(0), jnp.int32(0)
-            for j in range(nbw):
-                src = vol_hbm.at[ci_w, pl.ds(o0, w0), pl.ds(o1, w1),
-                                 b0_w + j]
-                pltpu.make_async_copy(src, win_ref.at[slot, j],
-                                      sem.at[slot, j]).wait()
+            for cp in window_copies(slot, a, (ubt, vbt, wbt)):
+                cp.wait()
 
         s_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         l_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
@@ -1026,7 +1123,20 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False,
             def plane_step(k, acc):
                 zk = zorg + k
                 yb_k = yb_of(a, ub, vbase, wbt, zk)
-                yb_k = _pin(jnp.clip(yb_k, o1, o1 + w1 - hy))
+                if strips:
+                    # the plane's strip: select its chunk's y origin (the
+                    # same values the DMA used -- recomputed from the same
+                    # SMEM scalars) and band-clip within the strip
+                    rel = zk - o0
+                    cidx = rel // cs
+                    s1k = s1s[nch - 1]
+                    for chv in range(nch - 1):
+                        s1k = jnp.where(cidx == chv, s1s[chv], s1k)
+                    yb_k = _pin(jnp.clip(yb_k, s1k, s1k + sh - hy))
+                    ybase = yb_k - s1k
+                else:
+                    yb_k = _pin(jnp.clip(yb_k, o1, o1 + w1 - hy))
+                    ybase = yb_k - o1
 
                 # per-plane z weight: sum of tap weights landing on zk
                 wplane = None
@@ -1044,7 +1154,7 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False,
                 hits = [None] * len(ytaps)
                 for c in range(ycand):
                     rows = [win_ref[slot, b, zk - o0,
-                                    pl.ds(yb_k - o1 + c * 8, 8), :]
+                                    pl.ds(ybase + c * 8, 8), :]
                             for b in range(nbw)]
                     mcs, moks = [], []
                     for iy, (yt, _) in enumerate(ytaps):
@@ -1234,9 +1344,11 @@ def _walk_runner(vc: WalkVariant, cval: float, interpret: bool,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
             scratch_shapes=[pltpu.VMEM((depth, v.nbw, v.w0,
-                                        v.w1, 128), jnp.float32),
+                                        v.sh if v.cs else v.w1, 128),
+                                       jnp.float32),
                             pltpu.SemaphoreType.DMA(
-                                (depth, v.nbw))],
+                                (depth, v.nbw, v.nch) if v.cs
+                                else (depth, v.nbw))],
             interpret=interpret,
         )(cols, vol_s)
 
