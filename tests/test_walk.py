@@ -285,6 +285,25 @@ def test_walk_strip_windows_match_xla(volume):
     assert_close_off_edges(np.asarray(got), np.asarray(want), m)
 
 
+def test_quantized_chooser_falls_back_to_tight():
+    """At tiny volumes the sticky-mode parameter ladders can round a band
+    bound over a hard limit where the exact config still fits; the chooser
+    must fall back to the tight config, not return None (observed: 4/100
+    random rotations at 25^3 hit XLA fallback in sticky mode)."""
+    shape = (25, 25, 25)
+    rng = np.random.default_rng(0)
+    fallbacks = 0
+    for i in range(80):
+        ang = rng.uniform(-180, 180, 3)
+        m = transform_matrix(rotation=tuple(ang), rotation_order="sxyz",
+                             center=tuple(s / 2 for s in shape))
+        plan = choose_plan(np.asarray(m, np.float32), shape, "linear",
+                           "constant", sticky=3.0)
+        if plan is None:
+            fallbacks += 1
+    assert fallbacks == 0
+
+
 def test_topk_candidates_diverse_and_covering(volume):
     """topk>1 returns structurally-diverse coverage-validated variants,
     cheapest modeled first (the enumeration behind best-of-K autotune)."""

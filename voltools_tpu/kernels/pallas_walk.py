@@ -589,6 +589,14 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
                                       mode, known, out_shape=out_shape)
         if fitv is not None and (best is None or fitc <= sticky * best_cost):
             return fitv
+    if best is None and quantize and topk <= 1:
+        # the parameter ladders can round a bound over a hard limit at
+        # tiny volumes (e.g. hy past _MAX_HY or the volume extent) where
+        # the EXACT config still fits; take the tight per-matrix config
+        # rather than refusing -- the binary just isn't shared
+        return choose_walk_variant(matrix, vol_shape, interpolation, mode,
+                                   known=(), sticky=1.0,
+                                   out_shape=out_shape, quantize=False)
     return best
 
 
