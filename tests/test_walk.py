@@ -285,6 +285,46 @@ def test_walk_strip_windows_match_xla(volume):
     assert_close_off_edges(np.asarray(got), np.asarray(want), m)
 
 
+def test_chooser_fuzz_random_shapes_self_consistent():
+    """Host-only fuzz: over random (possibly tiny/anisotropic) shapes and
+    matrices, every plan the walk chooser returns must pass its own scalar
+    coverage validator, in both sticky (quantized) and tight mode — the
+    class of inconsistency behind the round-2 quasi-2D crash."""
+    rng = np.random.default_rng(42)
+    checked = 0
+    for _ in range(60):
+        shape = tuple(int(s) for s in rng.integers(1, 97, 3))
+        ang = rng.uniform(-180, 180, 3)
+        scale = tuple(float(s) for s in rng.uniform(0.6, 1.6, 3))
+        m = np.asarray(transform_matrix(
+            rotation=tuple(ang), rotation_order="sxyz", scale=scale,
+            center=tuple(s / 2 for s in shape)), np.float32)
+        for quantize in (True, False):
+            v = choose_walk_variant(m, shape, "linear", "constant",
+                                    quantize=quantize)
+            if v is not None:
+                checked += 1
+                assert walk_variant_covers(v, m, shape, "linear",
+                                           "constant"), (shape, ang, scale,
+                                                         quantize)
+                if v.whole:
+                    assert v.w0 == v.d[0] and v.w1 == v.d[1]
+                if v.cs:
+                    assert v.w0 % v.cs == 0 and v.sh == v.w1
+    assert checked > 30   # the fuzz actually exercised the chooser
+
+
+def test_whole_mode_size_boundary():
+    """The whole-resident mode is selected where the prepared volume fits
+    VMEM (~<=120^3 f32) and never above it."""
+    m = np.asarray(random_rotation(3, (100, 100, 100)), np.float32)
+    v_small = choose_walk_variant(m, (100, 100, 100), "linear", "constant")
+    assert v_small is not None and v_small.whole
+    m2 = np.asarray(random_rotation(3, (192, 192, 192)), np.float32)
+    v_big = choose_walk_variant(m2, (192, 192, 192), "linear", "constant")
+    assert v_big is not None and not v_big.whole
+
+
 def test_quantized_chooser_falls_back_to_tight():
     """At tiny volumes the sticky-mode parameter ladders can round a band
     bound over a hard limit where the exact config still fits; the chooser
