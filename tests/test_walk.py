@@ -285,6 +285,26 @@ def test_walk_strip_windows_match_xla(volume):
     assert_close_off_edges(np.asarray(got), np.asarray(want), m)
 
 
+def test_autotune_plan_interpret(volume):
+    """autotune_plan measures the top-K candidates and returns one of
+    them; the winner must cover the matrix and sample correctly."""
+    from voltools_tpu.kernels.planner import autotune_plan, plan_covers
+
+    vol = volume[:32, :32, :32]
+    m = random_rotation(4, vol.shape)
+    plan = autotune_plan(np.asarray(vol), np.asarray(m, np.float32),
+                         "linear", "constant", k=2, iters=4,
+                         interpret=True)
+    assert plan is not None
+    assert plan_covers(plan, m, vol.shape, "linear", "constant")
+    assert isinstance(plan, WalkVariant)
+    got = np.asarray(affine_sample_pallas_walk(
+        np.asarray(vol), np.asarray(m, np.float32), plan, 0.0,
+        interpret=True))
+    want = affine_sample(np.asarray(vol), m, "linear", "constant")
+    assert_close_off_edges(got, np.asarray(want), m)
+
+
 def test_chooser_fuzz_random_shapes_self_consistent():
     """Host-only fuzz: over random (possibly tiny/anisotropic) shapes and
     matrices, every plan the walk chooser returns must pass its own scalar

@@ -66,7 +66,7 @@ def choose_plan(matrix, vol_shape, interpolation: str,
 def autotune_plan(volume, matrix, interpolation: str,
                   mode: str = "constant", cval: float = 0.0,
                   k: int = 3, iters: int = 33,
-                  out_shape=None) -> Optional[Plan]:
+                  out_shape=None, interpret: bool = False) -> Optional[Plan]:
     """Empirical best-of-``k`` plan selection: compile the k cheapest
     MODELED walk configs (distinct Mosaic binaries) and keep the one that
     measures fastest on the device.
@@ -105,7 +105,11 @@ def autotune_plan(volume, matrix, interpolation: str,
         def chained(n, p, mat):
             def body(_, carry):
                 mm, acc = carry
-                out = plan_sample_prepared(p, mm, plan, cval)
+                if isinstance(plan, WalkVariant):
+                    out = walk_sample_prepared(p, mm, plan, cval,
+                                               interpret=interpret)
+                else:
+                    out = plan_sample_prepared(p, mm, plan, cval)
                 probe = out[0, 0, 0] * jnp.float32(1e-38)
                 return mm + probe, acc + probe
             mm, acc = jax.lax.fori_loop(0, n, body,

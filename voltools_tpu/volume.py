@@ -46,7 +46,7 @@ class StaticVolume:
 
     def __init__(self, data: np.ndarray, interpolation: str = "linear",
                  device: str = "tpu", mode: str = "constant", cval: float = 0.0,
-                 prefilter_boundary: str = "mirror"):
+                 prefilter_boundary: str = "mirror", autotune: int = 0):
         if data.ndim != 3:
             raise ValueError("Expected a 3D array")
         if interpolation not in AVAILABLE_INTERPOLATIONS:
@@ -64,6 +64,12 @@ class StaticVolume:
         self.mode = mode
         self.cval = float(cval)
         self.shape = tuple(data.shape)
+        # best-of-K empirical plan autotune (0/1 = off): each NEW plan
+        # costs K-1 extra Mosaic compiles + a few measured runs, then the
+        # measured-fastest config serves every repeat of that matrix --
+        # worth it for long-lived resident volumes with hot orientations
+        self._autotune = int(autotune)
+        self._autotuned = {}
 
         if device == "cpu":
             # prefilter once at construction (the reference's GPU path did
@@ -135,6 +141,24 @@ class StaticVolume:
                               self.mode, self._jdev)
         if plan is None:
             return self._sampler
+        if self._autotune > 1:
+            from .kernels.planner import autotune_plan, plan_covers
+            with self._variant_lock:
+                tuned = self._autotuned.get(plan)
+            if tuned is None or not plan_covers(
+                    tuned, np.asarray(transform_m, np.float64), self.shape,
+                    self.interpolation, self.mode):
+                tuned = autotune_plan(self.data,
+                                      np.asarray(transform_m, np.float32),
+                                      self.interpolation, self.mode,
+                                      self.cval, k=self._autotune)
+                with self._variant_lock:
+                    self._autotuned[plan] = tuned
+                    if len(self._autotuned) > 96:
+                        for k in list(self._autotuned)[:32]:
+                            del self._autotuned[k]
+            if tuned is not None:
+                plan = tuned
         with self._variant_lock:
             sampler = self._variant_samplers.get(plan)
             if sampler is None:
