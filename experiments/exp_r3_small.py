@@ -6,7 +6,7 @@ the reference's static_vol_out workload at the sizes where its texture
 unit posts 0.057/0.092/0.40 ms.  Small kernels need long chains for slope
 resolution: iters scales inversely with volume.
 
-Usage: python -u experiments/exp_r3_small.py [n_rot] [size ...] [--sticky]
+Usage: python -u experiments/exp_r3_small.py [n_rot] [size ...] [--sticky] [--cubic]
 
 ``--sticky`` uses the production sticky planner (compiled-binary reuse via
 canonical matching, ~8-11 compiles per 100 rotations instead of 100) --
@@ -35,8 +35,9 @@ def main():
                                               plan_sample_prepared)
     from voltools_tpu.utils import transform_matrix
 
-    argv = [a for a in sys.argv[1:] if a != "--sticky"]
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     sticky = 3.0 if "--sticky" in sys.argv else None
+    interp = "filt_bspline" if "--cubic" in sys.argv else "linear"
     n_rot = int(argv[0]) if argv else 100
     sizes = [int(a) for a in argv[1:]] or [25, 50, 100]
 
@@ -45,13 +46,16 @@ def main():
         rng = np.random.default_rng(0)
         vol = jnp.asarray(rng.random((size,) * 3, dtype=np.float64)
                           .astype(np.float32))
+        if interp != "linear":
+            from voltools_tpu.ops.prefilter import bspline_prefilter
+            vol = jax.jit(bspline_prefilter)(vol)
         center = (size / 2,) * 3
         times, kinds = [], {}
         for i in range(n_rot):
             ang = rng.uniform(-180, 180, 3)
             m = transform_matrix(rotation=tuple(ang), rotation_order="sxyz",
                                  center=center)
-            plan = choose_plan(m, vol.shape, "linear", "constant",
+            plan = choose_plan(m, vol.shape, interp, "constant",
                                sticky=sticky)
             if plan is None:
                 print(f"{size:>4} {i:>3} XLA-fallback", flush=True)
