@@ -104,3 +104,44 @@ def test_cpu_batch_honors_mode_cval_output_profile(small_volume, capsys):
     buf = np.empty_like(batch)
     sv.affine_batch(ms, output=buf)
     np.testing.assert_allclose(buf, batch, atol=0)
+
+
+def test_device_sampler_no_deadlock_on_fresh_walk_plan(small_volume,
+                                                       monkeypatch):
+    """_device_sampler builds the sampler under _variant_lock and calls
+    _prepared_source, which takes the same lock for the layout cache — a
+    non-reentrant lock deadlocks the FIRST single-matrix call that gets a
+    fresh walk plan (found live on TPU; CPU dispatch normally short-
+    circuits before this path, so force a walk plan through it)."""
+    import threading
+
+    import voltools_tpu.volume as volume_mod
+    from voltools_tpu.kernels.pallas_walk import choose_walk_variant
+    from voltools_tpu.utils import transform_matrix
+
+    vol = np.random.default_rng(9).random((40, 40, 40)).astype(np.float32)
+    sv = StaticVolume(vol, interpolation="linear", device="jax")
+    m = np.asarray(transform_matrix(
+        rotation=(33.0, -47.0, 121.0), rotation_order="sxyz",
+        center=tuple(s / 2 for s in vol.shape)), np.float32)
+    plan = choose_walk_variant(m, vol.shape, "linear", "constant")
+    assert plan is not None
+    monkeypatch.setattr(volume_mod, "select_variant",
+                        lambda *a, **k: plan, raising=False)
+    sv._jdev = None  # unused by the forced path
+
+    import voltools_tpu.transforms as transforms_mod
+    monkeypatch.setattr(transforms_mod, "select_variant",
+                        lambda *a, **k: plan)
+
+    done = threading.Event()
+    result = {}
+
+    def run():
+        result["sampler"] = sv._device_sampler(m)
+        done.set()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    assert done.wait(timeout=60.0), "_device_sampler deadlocked"
+    assert result["sampler"] is not None

@@ -110,7 +110,10 @@ class StaticVolume:
         self._batch_sampler = jax.jit(jax.vmap(_sample, in_axes=(None, 0)))
         self._variant_samplers = {}
         self._walk_layouts = {}
-        self._variant_lock = threading.Lock()
+        # RLock: _device_sampler builds samplers under the lock and calls
+        # _prepared_source, which locks the same guard for the layout
+        # cache -- a plain Lock deadlocks the first fresh walk plan
+        self._variant_lock = threading.RLock()
         # warm the compile so the first .affine() call is launch-only
         self._sampler(self.data, jnp.eye(4, dtype=jnp.float32))
 
