@@ -285,6 +285,33 @@ def test_walk_strip_windows_match_xla(volume):
     assert_close_off_edges(np.asarray(got), np.asarray(want), m)
 
 
+def test_full_depth_walk_covers_long_span():
+    """A rotation whose per-vreg z-span exceeds the volume depth is still
+    walkable: hz = d0 walks the whole depth (zorg clips to 0), covering
+    every in-volume tap.  covers() used to compare the RAW geometric span
+    against v.hz and reject these (observed: a 25^3 cubic rotation fell to
+    the 10x-slower select-tree kernel)."""
+    shape = (25, 25, 25)
+    rng = np.random.default_rng(0)
+    rng.random(shape, dtype=np.float64)       # align exp_r3_small's stream
+    m = None
+    for i in range(7):
+        ang = rng.uniform(-180, 180, 3)
+        m = transform_matrix(rotation=tuple(ang), rotation_order="sxyz",
+                             center=tuple(s / 2 for s in shape))
+    v = choose_walk_variant(np.asarray(m, np.float32), shape, "bspline",
+                            "constant", sticky=None, quantize=False)
+    assert v is not None, "full-depth walk must cover the long-span case"
+    assert v.hz <= shape[0]
+    assert walk_variant_covers(v, m, shape, "bspline", "constant")
+
+    vol = rng.random(shape).astype(np.float32)
+    got = affine_sample_pallas_walk(vol, np.asarray(m, np.float32), v,
+                                    0.0, interpret=True)
+    want = affine_sample(vol, m, "bspline", "constant")
+    assert_close_off_edges(np.asarray(got), np.asarray(want), m)
+
+
 def test_autotune_plan_interpret(volume):
     """autotune_plan measures the top-K candidates and returns one of
     them; the winner must cover the matrix and sample correctly."""

@@ -632,7 +632,10 @@ def walk_variant_covers(v: WalkVariant, matrix, vol_shape,
         if g is None:
             return False
         hz, hy_raw, y_lo, (sl, sh), kappa = g
-        if (hz > v.hz or y_lo < v.y_lo
+        # a walk spanning the full volume depth covers every in-volume z
+        # tap (zorg clips to 0), so a geometric span beyond d0 needs only
+        # hz = d0 -- same capping the chooser builds with
+        if (min(hz, d0) > v.hz or y_lo < v.y_lo
                 or y_lo + hy_raw - 1 > v.y_lo + v.hy - 1
                 or sl > v.slop_lo or sh > v.slop_hi):
             return False
@@ -737,7 +740,8 @@ def fit_walk_variant(matrix, vol_shape, interpolation: str, mode: str,
                    & (dims[:, 2] + 2 * K.xpad == K.d[2])
                    & (dims[:, 2] > K.xpad))
         ok = (dims_ok & (odims == K.out_d).all(1)
-              & (hz_m <= K.hz) & (slop_lo <= K.slop_lo)
+              & (np.minimum(hz_m, dims[:, 0]) <= K.hz)
+              & (slop_lo <= K.slop_lo)
               & (slop_hi <= K.slop_hi)
               & (np.minimum(need_w0, dims[:, 0]) <= K.w0))[:, None]
         ok = ok & kok & (y_hi_m - y_lo_m + 1 <= K.hy) \
