@@ -361,6 +361,32 @@ def test_chooser_fuzz_random_shapes_self_consistent():
     assert checked > 30   # the fuzz actually exercised the chooser
 
 
+def test_planner_fuzz_extreme_scales_self_consistent():
+    """Every plan the unified planner returns must pass plan_covers, even
+    for strong zooms/translations where window spans exceed the volume
+    extents and cap at d (a full-extent window/walk covers everything;
+    the validators used to compare the RAW spans and reject those)."""
+    from voltools_tpu.kernels.planner import choose_plan, plan_covers
+
+    rng = np.random.default_rng(7)
+    checked = 0
+    for _ in range(25):
+        shape = tuple(int(s) for s in rng.integers(4, 48, 3))
+        m = np.asarray(transform_matrix(
+            rotation=tuple(rng.uniform(-180, 180, 3)),
+            rotation_order="sxyz",
+            scale=tuple(float(s) for s in rng.uniform(0.3, 2.5, 3)),
+            translation=tuple(float(t) for t in rng.uniform(-20, 20, 3)),
+            center=tuple(s / 2 for s in shape)), np.float32)
+        for interp in ("linear", "bspline"):
+            p = choose_plan(m, shape, interp, "constant", sticky=None)
+            if p is not None:
+                checked += 1
+                assert plan_covers(p, m, shape, interp, "constant"), (
+                    shape, interp)
+    assert checked > 15
+
+
 def test_whole_mode_size_boundary():
     """The whole-resident mode is selected where the prepared volume fits
     VMEM (~<=120^3 f32) and never above it."""

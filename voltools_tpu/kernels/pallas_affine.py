@@ -211,7 +211,11 @@ def variant_covers(v: Variant, matrix, vol_shape, interpolation: str,
         return False
     margin = 2 if order == 1 else 4
     spans = [aa[r, 1] * 7 + aa[r, 2] * 127 + margin + 1 for r in (0, 1)]
-    return math.ceil(spans[0]) <= v.w0 and math.ceil(spans[1]) <= v.w1
+    # a window spanning the full volume extent covers every in-volume row
+    # (its origin clips to 0), so spans beyond d need only w = d -- the
+    # same capping choose_variant builds with
+    return (min(math.ceil(spans[0]), v.d[0]) <= v.w0
+            and min(math.ceil(spans[1]), v.d[1]) <= v.w1)
 
 
 def _make_kernel(v: Variant, cval: float, batch: int = 0):
