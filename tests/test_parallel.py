@@ -85,9 +85,43 @@ def test_sharded_output_device(mesh, volume):
 
 def test_sharded_validation(mesh):
     with pytest.raises(ValueError):
-        ShardedVolume(np.zeros((63, 8, 8), np.float32), mesh=mesh)  # 63 % 8
-    with pytest.raises(ValueError):
         ShardedVolume(np.zeros((8, 8), np.float32), mesh=mesh)
+
+
+def _knife_mask(m, shape, tol=1e-4):
+    """Near-integer AND near-half-integer (border discard band) source
+    coordinates, where independent f32 evaluations may disagree by 1 ulp."""
+    idx = np.indices(shape, dtype=np.float64).reshape(3, -1)
+    src = np.asarray(m, np.float64)[:3, :3] @ idx + \
+        np.asarray(m, np.float64)[:3, 3:4]
+    near = np.abs(src - np.round(src)) < tol
+    near |= np.abs(src - np.round(src + 0.5) + 0.5) < tol
+    return near.any(axis=0).reshape(shape)
+
+
+@pytest.mark.parametrize("shape", [(61, 24, 24), (9, 24, 26)])
+@pytest.mark.parametrize("mode", ["constant", "border"])
+def test_sharded_non_divisible_extent(mesh, shape, mode):
+    """Axis-0 extents that don't divide over the mesh are padded with
+    mode-correct boundary planes (mirror/zeros), masked against the TRUE
+    extent, and cropped on output -- results match the single-chip oracle
+    on both the halo and the gather path."""
+    from voltools_tpu.ops.sampling import affine_sample
+
+    rng = np.random.default_rng(3)
+    vol = rng.random(shape).astype(np.float32)
+    sv = ShardedVolume(vol, mesh=mesh, interpolation="filt_bspline",
+                       mode=mode)
+    for rot in [(3, -4, 5), (40, 55, -70)]:   # halo path, gather path
+        m = np.asarray(transform_matrix(
+            rotation=rot, rotation_order="sxyz",
+            center=tuple(s / 2 for s in shape)), np.float32)
+        got = sv.affine(m)
+        assert got.shape == shape
+        want = np.asarray(affine_sample(vol, m, "filt_bspline", mode))
+        err = np.abs(got - want)
+        err[_knife_mask(m, shape)] = 0
+        assert err.max() < 5e-4, (shape, mode, rot, err.max())
 
 
 def test_sharded_affine_batch(mesh, volume):

@@ -103,23 +103,42 @@ class ShardedVolume:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.axis_name = self.mesh.axis_names[0]
         n = self.mesh.devices.size
-        if data.shape[0] % n != 0:
-            raise ValueError(
-                f"axis 0 ({data.shape[0]}) must divide evenly over the "
-                f"{n}-device mesh")
         self.interpolation = interpolation
         self.mode = mode
         self.cval = float(cval)
         self.shape = tuple(data.shape)
 
+        # non-divisible axis 0: pad to the next multiple of the mesh with
+        # mode-correct boundary planes (mirror for scipy-'constant', zeros
+        # for 'border'), so every in-TRUE-volume tap reads exactly what the
+        # single-chip oracle would; out-of-volume output voxels are re-
+        # masked in the global frame and the pad rows cropped on output.
+        # Cubic taps reach 2 planes past the edge, so keep pad >= 2 (one
+        # extra mesh round when the remainder is 1).
+        pad = (-data.shape[0]) % n
+        if pad and pad < 2:
+            pad += n
+        self._pad = pad
+        self._d0p = data.shape[0] + pad
+
         from ..ops.interpolation import needs_prefilter
         from ..ops.prefilter import _FIR_HALF_WIDTH
         sharding = NamedSharding(self.mesh, P(self.axis_name))
-        local = data.shape[0] // n
+        local = self._d0p // n
+
+        def _pad_planes(vol):
+            if not pad:
+                return vol
+            if mode == "border":
+                ext = jnp.zeros((pad,) + vol.shape[1:], vol.dtype)
+            else:   # scipy mirror: plane d0+k reads plane d0-2-k
+                ext = jnp.flip(vol[-pad - 1:-1], 0)
+            return jnp.concatenate([vol, ext], axis=0)
+
         if not needs_prefilter(interpolation):
-            self.data = jax.device_put(jnp.asarray(data, jnp.float32),
-                                       sharding)
-        elif local > _FIR_HALF_WIDTH:
+            vol = jnp.asarray(data, jnp.float32)
+            self.data = jax.device_put(jax.jit(_pad_planes)(vol), sharding)
+        elif pad == 0 and local > _FIR_HALF_WIDTH:
             # shard FIRST, prefilter shard-wise: axes 1/2 are local; the
             # axis-0 pass exchanges an 18-plane halo over ICI.  The full
             # volume never materialises on one device (construction no
@@ -127,10 +146,16 @@ class ShardedVolume:
             raw = jax.device_put(jnp.asarray(data, jnp.float32), sharding)
             self.data = self._sharded_prefilter(raw)
         else:
-            # slabs thinner than the filter support: fall back to a global
-            # prefilter before sharding
+            # slabs thinner than the filter support (or padded): global
+            # prefilter on the TRUE extent before padding + sharding
+            # (mirror-padding coefficients == coefficients of the mirror
+            # extension, since the prefilter itself uses mirror boundary)
             from ..ops.prefilter import bspline_prefilter
-            vol = jax.jit(bspline_prefilter)(jnp.asarray(data, jnp.float32))
+
+            def prep(v):
+                return _pad_planes(bspline_prefilter(v))
+
+            vol = jax.jit(prep)(jnp.asarray(data, jnp.float32))
             self.data = jax.device_put(vol, sharding)
         self._samplers = {}
 
@@ -190,7 +215,7 @@ class ShardedVolume:
             return None
         from ..kernels.planner import choose_plan
         n = self.mesh.devices.size
-        local = self.shape[0] // n
+        local = self._d0p // n
         m = np.asarray(transform_m, np.float64)
         out_shape = (local,) + self.shape[1:]
         ms = []
@@ -203,7 +228,7 @@ class ShardedVolume:
                 shift_src = np.eye(4)
                 shift_src[0, 3] = halo - i * local
                 ms.append(shift_src @ m @ shift_out)
-        src_shape = (self.shape if halo is None
+        src_shape = ((self._d0p,) + self.shape[1:] if halo is None
                      else (local + 2 * halo,) + self.shape[1:])
         return choose_plan(np.stack(ms), src_shape, self.interpolation,
                            self.mode, out_shape=out_shape)
@@ -221,9 +246,24 @@ class ShardedVolume:
         axis = self.axis_name
         mesh = self.mesh
         n = mesh.devices.size
-        d0 = self.shape[0]
-        local = d0 // n
+        d0 = self.shape[0]          # TRUE extent: all masking uses this
+        local = self._d0p // n      # padded slab height
+        pad = self._pad
         from ..ops.sampling import affine_sample
+
+        def mask_true_z(out, m_dev):
+            """Re-mask the sharded axis against the TRUE volume extent (the
+            kernels' inside test sees the padded frame)."""
+            zi = jax.lax.broadcasted_iota(jnp.float32, out.shape, 0)
+            yi = jax.lax.broadcasted_iota(jnp.float32, out.shape, 1)
+            xi = jax.lax.broadcasted_iota(jnp.float32, out.shape, 2)
+            zsrc = (m_dev[0, 0] * zi + m_dev[0, 1] * yi
+                    + m_dev[0, 2] * xi + m_dev[0, 3])
+            if mode == "border":
+                inside = (zsrc > -0.5) & (zsrc < d0 - 0.5)
+            else:
+                inside = (zsrc >= 0) & (zsrc <= d0 - 1)
+            return jnp.where(inside, out, jnp.float32(cval))
 
         if halo is None and plan is not None:
             from ..kernels.planner import plan_sample
@@ -239,7 +279,8 @@ class ShardedVolume:
                 # exact f32 shift composition (a jnp matmul would run at
                 # bf16 matmul precision on TPU and shred the matrix)
                 m_dev = matrix.at[:, 3].add(matrix[:, 0] * start)
-                return plan_sample(full, m_dev, plan, cval)
+                out = plan_sample(full, m_dev, plan, cval)
+                return mask_true_z(out, m_dev) if pad else out
         elif halo is None:
             def body(vol_shard, matrix):
                 # global transform: gather the full source volume over ICI,
@@ -251,9 +292,10 @@ class ShardedVolume:
                 # bf16 matmul precision on TPU and shred the matrix)
                 m_dev = matrix.at[:, 3].add(matrix[:, 0] * start)
                 out_shape = (local,) + self.shape[1:]
-                return affine_sample(full, m_dev, interp, mode,
-                                     cval, prefiltered=True,
-                                     out_shape=out_shape)
+                out = affine_sample(full, m_dev, interp, mode,
+                                    cval, prefiltered=True,
+                                    out_shape=out_shape)
+                return mask_true_z(out, m_dev) if pad else out
         elif plan is not None:
             from ..kernels.planner import plan_sample
 
@@ -363,12 +405,14 @@ class ShardedVolume:
         """Apply a 4x4 pull-back matrix across the mesh."""
         import jax.numpy as jnp
         halo = halo_for_matrix(self.shape, transform_m, self.interpolation)
-        local = self.shape[0] // self.mesh.devices.size
+        local = self._d0p // self.mesh.devices.size
         if halo is not None and halo + 1 > local:
             halo = None  # halo would exceed the slab; use the gather path
         plan = self._plan_for(transform_m, halo)
         fn = self._get_sampler(halo, plan)
         result = fn(self.data, jnp.asarray(transform_m, jnp.float32))
+        if self._pad:
+            result = result[:self.shape[0]]   # crop the pad rows
         if isinstance(output, str) and output == "device":
             return result
         result.block_until_ready()
