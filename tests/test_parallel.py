@@ -165,9 +165,24 @@ def test_sharded_batch_pallas_plan(mesh):
 
 
 def test_sharded_batch_validation(mesh, volume):
-    ms = np.stack([np.eye(4, dtype=np.float32)] * 3)  # 3 % 8 != 0
     with pytest.raises(ValueError):
-        sharded_affine_batch(volume, ms, mesh=mesh)
+        sharded_affine_batch(volume, np.eye(4, dtype=np.float32), mesh=mesh)
+
+
+def test_sharded_batch_non_divisible(mesh, volume):
+    """A batch that doesn't divide over the mesh is padded with repeats of
+    the last matrix and cropped on return."""
+    rng = np.random.default_rng(2)
+    ms = np.stack([np.asarray(transform_matrix(
+        rotation=tuple(rng.uniform(-20, 20, 3)), rotation_order="sxyz",
+        center=tuple(s / 2 for s in volume.shape)), np.float32)
+        for _ in range(3)])   # 3 % 8 != 0
+    got = sharded_affine_batch(volume, ms, mesh=mesh)
+    assert got.shape == (3,) + volume.shape
+    from voltools_tpu.ops.sampling import affine_sample
+    for i in range(3):
+        want = np.asarray(affine_sample(volume, ms[i], "linear", "constant"))
+        np.testing.assert_allclose(got[i], want, atol=5e-5)
 
 
 def test_sharded_prefilter_matches_global(mesh):

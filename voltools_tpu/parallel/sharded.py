@@ -447,7 +447,8 @@ def sharded_affine_batch(volume, matrices, interpolation: str = "linear",
     """Apply N matrices to one volume, data-parallel over the mesh.
 
     The volume is replicated; the matrix batch is sharded.  Returns the
-    (N, *shape) stack on host.  N must divide by the mesh size.
+    (N, *shape) stack on host.  A batch that does not divide over the mesh
+    is padded with repeats of the last matrix and cropped on return.
 
     On TPU meshes each device runs the planner's grid-batched Pallas kernel
     over its matrix share (one envelope plan serves the whole sweep;
@@ -463,9 +464,13 @@ def sharded_affine_batch(volume, matrices, interpolation: str = "linear",
     axis = mesh.axis_names[0]
     n = mesh.devices.size
     matrices = np.asarray(matrices, dtype=np.float32)
-    if matrices.shape[0] % n != 0:
-        raise ValueError(f"batch ({matrices.shape[0]}) must divide over "
-                         f"{n} devices")
+    if matrices.ndim != 3 or matrices.shape[1:] != (4, 4):
+        raise ValueError("matrices must be (N, 4, 4)")
+    n_true = matrices.shape[0]
+    pad = (-n_true) % n
+    if pad:   # pad with repeats of the last matrix, crop on return
+        matrices = np.concatenate(
+            [matrices, np.repeat(matrices[-1:], pad, axis=0)])
     shape = tuple(volume.shape)
 
     from ..transforms import _pick_impl
@@ -503,7 +508,7 @@ def sharded_affine_batch(volume, matrices, interpolation: str = "linear",
             fn = jax.jit(_shard_map(lambda prep, pls: run_b(prep, pls),
                                     mesh=mesh, in_specs=(P(), P(axis)),
                                     out_specs=P(axis)))
-            return np.asarray(fn(prepared, payloads))
+            return np.asarray(fn(prepared, payloads))[:n_true]
 
     from ..ops.sampling import affine_sample_batch
 
@@ -516,4 +521,4 @@ def sharded_affine_batch(volume, matrices, interpolation: str = "linear",
     def run(vol, ms):
         return affine_sample_batch(vol, ms, interpolation, mode, cval)
 
-    return np.asarray(run(vol, ms))
+    return np.asarray(run(vol, ms))[:n_true]
