@@ -85,3 +85,43 @@ def test_projector_walk_plan_interpret(monkeypatch):
         col_ok = ~near.reshape(vol.shape).any(axis=proj.projection_axis)
         err = np.abs(stack[i] - expected[i])
         assert np.where(col_ok, err, 0.0).max() <= 1e-3
+
+
+def test_wbp_reconstruction_round_trip():
+    """Project a smooth phantom over 180° and reconstruct it: WBP must
+    recover the interior with high fidelity and near-unit scale (the
+    framework's inverse problem — absent from the CUDA reference)."""
+    from scipy.ndimage import gaussian_filter
+
+    from voltools_tpu.models import TiltSeriesProjector, wbp_reconstruct
+
+    shape = (24, 24, 24)
+    rng = np.random.default_rng(0)
+    vol = gaussian_filter(rng.standard_normal(shape), 2.0).astype(np.float32)
+    proj = TiltSeriesProjector(vol, interpolation="linear", device="jax")
+    angles = np.arange(0.0, 180.0, 5.0)
+    ms = proj.tilt_matrices(angles, tilt_axis=0)
+    p = proj.project(angles, tilt_axis=0)
+    rec = wbp_reconstruct(p, ms, shape, device="jax")
+    assert rec.shape == shape
+
+    c = 5
+    a = vol[c:-c, c:-c, c:-c].ravel()
+    b = rec[c:-c, c:-c, c:-c].ravel()
+    r = np.corrcoef(a, b)[0, 1]
+    scale = float(np.dot(a, b) / np.dot(b, b))
+    assert r > 0.97, r
+    assert 0.85 < scale < 1.2, scale
+
+    # point phantom localizes exactly
+    vol_pt = np.zeros(shape, np.float32)
+    vol_pt[12, 12, 12] = 1.0
+    proj_pt = TiltSeriesProjector(vol_pt, interpolation="linear",
+                                  device="jax")
+    p_pt = proj_pt.project(angles, tilt_axis=0)
+    rec_pt = wbp_reconstruct(p_pt, ms, shape, device="jax")
+    assert np.unravel_index(np.argmax(rec_pt), shape) == (12, 12, 12)
+
+    # unfiltered back-projection is supported (blurrier, still correlated)
+    rec_bp = wbp_reconstruct(p, ms, shape, device="jax", filter_window=None)
+    assert np.corrcoef(a, rec_bp[c:-c, c:-c, c:-c].ravel())[0, 1] > 0.5
