@@ -76,7 +76,7 @@ def _bilinear2d(img, yy, xx):
 def wbp_reconstruct(projections, matrices, out_shape,
                     projection_axis: int = 0,
                     filter_window: Optional[str] = "ramlak",
-                    filter_axis="auto",
+                    filter_axis="auto", mesh=None,
                     device: str = "tpu", output: Optional[str] = None):
     """Weighted back-projection from a tilt series.
 
@@ -97,10 +97,14 @@ def wbp_reconstruct(projections, matrices, out_shape,
         the tilt axis.  'auto' (default) detects it for single-axis tilt
         series: the projection axis whose coordinate map stays identity
         across every matrix IS the tilt axis; the other one is filtered.
+    mesh : optional 1-D ``jax.sharding.Mesh`` — shard the tilt batch over
+        the mesh; each device back-projects its share and the partial
+        volumes are ``psum``-reduced over ICI (the batch is padded with
+        zero projections when it does not divide evenly).
     output : None -> host numpy; 'device' -> device array.
 
-    Returns the (D, H, W) reconstruction scaled by ``pi / (2 N)`` (the
-    standard parallel-beam WBP normalisation).
+    Returns the (D, H, W) reconstruction scaled by ``pi / N`` (parallel-
+    beam WBP normalisation over a [0, pi) sweep).
     """
     import jax
     import jax.numpy as jnp
@@ -140,12 +144,7 @@ def wbp_reconstruct(projections, matrices, out_shape,
     if filter_axis not in (-1, -2):
         raise ValueError("filter_axis must be -1, -2, or 'auto'")
 
-    dev = resolve_device(device)
-    proj_dev = jax.device_put(jnp.asarray(projections), dev)
-    minv_dev = jax.device_put(jnp.asarray(minv), dev)
-
-    @jax.jit
-    def run(projs, minvs):
+    def backproject(projs, minvs):
         if filter_window is not None:
             projs = ramp_filter(projs, axis=filter_axis,
                                 window=filter_window)
@@ -168,7 +167,38 @@ def wbp_reconstruct(projections, matrices, out_shape,
         # forward-projected phantom, scale error < 5%)
         return acc * (jnp.pi / n_tilt)
 
-    result = run(proj_dev, minv_dev)
+    if mesh is None:
+        dev = resolve_device(device)
+        proj_dev = jax.device_put(jnp.asarray(projections), dev)
+        minv_dev = jax.device_put(jnp.asarray(minv), dev)
+        result = jax.jit(backproject)(proj_dev, minv_dev)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.sharded import _shard_map
+        axis = mesh.axis_names[0]
+        nd = mesh.devices.size
+        padn = (-n_tilt) % nd
+        if padn:
+            # zero projections contribute nothing to the psum; the pi/N
+            # scale inside backproject already uses the TRUE tilt count
+            projections = np.concatenate(
+                [projections,
+                 np.zeros((padn,) + projections.shape[1:], np.float32)])
+            minv = np.concatenate(
+                [minv, np.repeat(np.eye(4, dtype=np.float32)[None],
+                                 padn, axis=0)])
+        proj_dev = jax.device_put(jnp.asarray(projections),
+                                  NamedSharding(mesh, P(axis)))
+        minv_dev = jax.device_put(jnp.asarray(minv),
+                                  NamedSharding(mesh, P(axis)))
+
+        def body(projs, minvs):
+            return jax.lax.psum(backproject(projs, minvs), axis)
+
+        result = jax.jit(_shard_map(body, mesh=mesh,
+                                    in_specs=(P(axis), P(axis)),
+                                    out_specs=P()))(proj_dev, minv_dev)
     if isinstance(output, str) and output == "device":
         return result
     return np.asarray(result)
