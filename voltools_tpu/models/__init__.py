@@ -1,4 +1,4 @@
 from .projections import TiltSeriesProjector
-from .reconstruction import ramp_filter, wbp_reconstruct
+from .reconstruction import ramp_filter, sirt_reconstruct, wbp_reconstruct
 
-__all__ = ["TiltSeriesProjector", "ramp_filter", "wbp_reconstruct"]
+__all__ = ["TiltSeriesProjector", "ramp_filter", "sirt_reconstruct", "wbp_reconstruct"]

@@ -23,7 +23,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-__all__ = ["ramp_filter", "wbp_reconstruct"]
+__all__ = ["ramp_filter", "sirt_reconstruct", "wbp_reconstruct"]
 
 
 def ramp_filter(projections, axis: int = -1, window: str = "ramlak"):
@@ -199,6 +199,90 @@ def wbp_reconstruct(projections, matrices, out_shape,
         result = jax.jit(_shard_map(body, mesh=mesh,
                                     in_specs=(P(axis), P(axis)),
                                     out_specs=P()))(proj_dev, minv_dev)
+    if isinstance(output, str) and output == "device":
+        return result
+    return np.asarray(result)
+
+
+def sirt_reconstruct(projections, matrices, out_shape,
+                     iterations: int = 30, relax: float = 1.0,
+                     projection_axis: int = 0,
+                     initial=None, device: str = "tpu",
+                     output: Optional[str] = None):
+    """Simultaneous Iterative Reconstruction Technique (SIRT).
+
+    Iterates ``x += relax * C A^T R (p - A x)`` where ``A`` is the
+    tilt-series forward projector (rotate by each matrix, integrate over
+    ``projection_axis`` — the exact operator
+    :class:`TiltSeriesProjector` applies) and ``A^T`` the adjoint
+    back-projection; ``R``/``C`` are the standard row/column inverse-sum
+    normalisations (computed by projecting/back-projecting ones).  On
+    limited-angle (missing-wedge) data SIRT recovers substantially more
+    than filtered back-projection.
+
+    The whole iteration runs as ONE jitted ``fori_loop`` device program —
+    no host round trips between iterations.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.sampling import affine_sample
+    from ..utils import resolve_device
+
+    projections = np.asarray(projections, np.float32)
+    matrices = np.asarray(matrices, np.float32)
+    if matrices.shape != (projections.shape[0], 4, 4):
+        raise ValueError("matrices must be (N, 4, 4) matching projections")
+    out_shape = tuple(int(s) for s in out_shape)
+    keep = [a for a in range(3) if a != projection_axis]
+    minv = np.stack([np.linalg.inv(m) for m in matrices]).astype(np.float32)
+
+    dev = resolve_device(device)
+    proj_dev = jax.device_put(jnp.asarray(projections), dev)
+    ms_dev = jax.device_put(jnp.asarray(matrices), dev)
+    minv_dev = jax.device_put(jnp.asarray(minv), dev)
+
+    def forward(vol, ms):
+        def one(m):
+            rot = affine_sample(vol, m, "linear", "constant", 0.0,
+                                out_shape=out_shape)
+            return jnp.sum(rot, axis=projection_axis)
+        return jax.vmap(one)(ms)
+
+    def adjoint(projs, minvs):
+        zi = jax.lax.broadcasted_iota(jnp.float32, out_shape, 0)
+        yi = jax.lax.broadcasted_iota(jnp.float32, out_shape, 1)
+        xi = jax.lax.broadcasted_iota(jnp.float32, out_shape, 2)
+
+        def body(acc, tilt):
+            proj, mi = tilt
+            rows = (mi[keep[0], 0] * zi + mi[keep[0], 1] * yi
+                    + mi[keep[0], 2] * xi + mi[keep[0], 3])
+            cols = (mi[keep[1], 0] * zi + mi[keep[1], 1] * yi
+                    + mi[keep[1], 2] * xi + mi[keep[1], 3])
+            return acc + _bilinear2d(proj, rows, cols), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros(out_shape, jnp.float32),
+                              (projs, minvs))
+        return acc
+
+    @jax.jit
+    def run(projs, ms, minvs, x0):
+        eps = jnp.float32(1e-6)
+        row_sum = forward(jnp.ones(out_shape, jnp.float32), ms)
+        col_sum = adjoint(jnp.ones_like(projs), minvs)
+        rinv = jnp.where(row_sum > eps, 1.0 / row_sum, 0.0)
+        cinv = jnp.where(col_sum > eps, 1.0 / col_sum, 0.0)
+
+        def step(_, x):
+            resid = (projs - forward(x, ms)) * rinv
+            return x + jnp.float32(relax) * cinv * adjoint(resid, minvs)
+
+        return jax.lax.fori_loop(0, iterations, step, x0)
+
+    x0 = (jnp.zeros(out_shape, jnp.float32) if initial is None
+          else jax.device_put(jnp.asarray(initial, jnp.float32), dev))
+    result = run(proj_dev, ms_dev, minv_dev, x0)
     if isinstance(output, str) and output == "device":
         return result
     return np.asarray(result)
