@@ -177,3 +177,55 @@ def test_sirt_beats_wbp_on_missing_wedge():
     assert r_sirt > r_wbp, (r_sirt, r_wbp)
     assert r_sirt > 0.9
     assert 0.85 < scale < 1.2, scale
+
+
+def test_sirt_pallas_forward_matches_xla():
+    """SIRT's TPU fast path (grid-batched walk kernel as the forward
+    operator, prepare inside the jit) must match the XLA forward exactly
+    over several iterations."""
+    from scipy.ndimage import gaussian_filter
+
+    from voltools_tpu.kernels.planner import choose_plan
+    from voltools_tpu.models import TiltSeriesProjector, sirt_reconstruct
+
+    shape = (20, 20, 20)
+    rng = np.random.default_rng(0)
+    vol = gaussian_filter(rng.standard_normal(shape), 1.5).astype(np.float32)
+    proj = TiltSeriesProjector(vol, interpolation="linear", device="jax")
+    angles = np.arange(-60.0, 61.0, 20.0)
+    ms = proj.tilt_matrices(angles, tilt_axis=0)
+    p = proj.project(angles, tilt_axis=0)
+    plan = choose_plan(np.asarray(ms, np.float64), shape, "linear",
+                       "constant")
+    assert plan is not None
+    rec_xla = sirt_reconstruct(p, ms, shape, iterations=4, device="jax")
+    rec_pal = sirt_reconstruct(p, ms, shape, iterations=4, device="jax",
+                               _force_plan=plan, _interpret=True)
+    np.testing.assert_allclose(rec_pal, rec_xla, atol=1e-5)
+
+
+def test_adjoint_rowgather_matches_general():
+    """For single-axis tilt geometry the back-projection's 2-D gather
+    degenerates to whole-row takes; the fast path must match the general
+    per-element gather exactly."""
+    import jax
+
+    from voltools_tpu.models import TiltSeriesProjector
+    from voltools_tpu.models.reconstruction import _make_adjoint
+
+    shape = (18, 20, 22)
+    proj = TiltSeriesProjector(np.zeros(shape, np.float32),
+                               interpolation="linear", device="jax")
+    angles = np.arange(-60.0, 61.0, 15.0)
+    ms = proj.tilt_matrices(angles, tilt_axis=0)
+    minv = np.stack([np.linalg.inv(m) for m in ms]).astype(np.float32)
+    rng = np.random.default_rng(4)
+    projs = rng.random((len(ms), shape[1], shape[2])).astype(np.float32)
+
+    keep = [1, 2]
+    fast = _make_adjoint(minv, keep, shape, projs.shape[1:])
+    slow = _make_adjoint(minv, keep, shape, projs.shape[1:],
+                         _force_general=True)
+    a = np.asarray(jax.jit(fast)(projs, minv))
+    b = np.asarray(jax.jit(slow)(projs, minv))
+    np.testing.assert_allclose(a, b, atol=1e-5)

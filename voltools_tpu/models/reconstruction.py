@@ -19,7 +19,7 @@ reconstruction is ONE jitted program.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 
@@ -47,6 +47,76 @@ def ramp_filter(projections, axis: int = -1, window: str = "ramlak"):
     f = jnp.fft.fft(projections, axis=axis)
     out = jnp.fft.ifft(f * ramp.reshape(shape), axis=axis)
     return jnp.real(out).astype(jnp.float32)
+
+
+def _make_adjoint(minv, keep, out_shape, proj_shape,
+                  _force_general: bool = False):
+    """The back-projection operator ``(projs, minvs) -> volume`` shared by
+    WBP and SIRT.
+
+    General geometry: per tilt, a 2-D bilinear gather of the projection at
+    (rows, cols) = the ``keep`` components of ``M^-1 w``.  Single-axis
+    tilt series (cols ≡ the identity coordinate on one volume axis, rows
+    independent of it — true for every ``tilt_matrices`` stack) take a
+    fast path: the gather degenerates to TWO whole-row ``take``s, which
+    lower to large contiguous slices instead of per-element gathers —
+    measured ~an order of magnitude faster on TPU, where the per-element
+    gather path dominated SIRT's iteration time.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    ax_c = keep[1]
+    ident = np.zeros(4, np.float32)
+    ident[ax_c] = 1.0
+    rowgather = (not _force_general
+                 and np.abs(minv[:, ax_c, :] - ident).max() < 1e-6
+                 and np.abs(minv[:, keep[0], ax_c]).max() < 1e-6
+                 and out_shape[ax_c] == proj_shape[1])
+    dep = [a for a in range(3) if a != ax_c]
+    perm = tuple(int(i) for i in np.argsort(dep + [ax_c]))
+
+    def adjoint(projs, minvs):
+        if rowgather:
+            sh2 = (out_shape[dep[0]], out_shape[dep[1]])
+            i0 = jax.lax.broadcasted_iota(jnp.float32, sh2, 0)
+            i1 = jax.lax.broadcasted_iota(jnp.float32, sh2, 1)
+            h = proj_shape[0]
+
+            def body(acc, tilt):
+                proj, mi = tilt
+                rows = (mi[keep[0], dep[0]] * i0
+                        + mi[keep[0], dep[1]] * i1 + mi[keep[0], 3])
+                r0f = jnp.floor(rows)
+                fr = rows - r0f
+                r0 = r0f.astype(jnp.int32)
+
+                def rtap(rt, wgt):
+                    valid = (rt >= 0) & (rt < h)
+                    g = jnp.take(proj, jnp.clip(rt, 0, h - 1), axis=0)
+                    return jnp.where(valid[..., None], g, 0.0) \
+                        * wgt[..., None]
+
+                gb = rtap(r0, 1.0 - fr) + rtap(r0 + 1, fr)
+                return acc + jnp.transpose(gb, perm), None
+        else:
+            zi = jax.lax.broadcasted_iota(jnp.float32, out_shape, 0)
+            yi = jax.lax.broadcasted_iota(jnp.float32, out_shape, 1)
+            xi = jax.lax.broadcasted_iota(jnp.float32, out_shape, 2)
+
+            def body(acc, tilt):
+                proj, mi = tilt
+                rows = (mi[keep[0], 0] * zi + mi[keep[0], 1] * yi
+                        + mi[keep[0], 2] * xi + mi[keep[0], 3])
+                cols = (mi[keep[1], 0] * zi + mi[keep[1], 1] * yi
+                        + mi[keep[1], 2] * xi + mi[keep[1], 3])
+                return acc + _bilinear2d(proj, rows, cols), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros(out_shape, jnp.float32),
+                              (projs, minvs))
+        return acc
+
+    return adjoint
 
 
 def _bilinear2d(img, yy, xx):
@@ -144,28 +214,16 @@ def wbp_reconstruct(projections, matrices, out_shape,
     if filter_axis not in (-1, -2):
         raise ValueError("filter_axis must be -1, -2, or 'auto'")
 
+    adjoint = _make_adjoint(minv, keep, out_shape, projections.shape[1:])
+
     def backproject(projs, minvs):
         if filter_window is not None:
             projs = ramp_filter(projs, axis=filter_axis,
                                 window=filter_window)
-        zi = jax.lax.broadcasted_iota(jnp.float32, out_shape, 0)
-        yi = jax.lax.broadcasted_iota(jnp.float32, out_shape, 1)
-        xi = jax.lax.broadcasted_iota(jnp.float32, out_shape, 2)
-
-        def body(acc, tilt):
-            proj, mi = tilt
-            rows = (mi[keep[0], 0] * zi + mi[keep[0], 1] * yi
-                    + mi[keep[0], 2] * xi + mi[keep[0], 3])
-            cols = (mi[keep[1], 0] * zi + mi[keep[1], 1] * yi
-                    + mi[keep[1], 2] * xi + mi[keep[1], 3])
-            return acc + _bilinear2d(proj, rows, cols), None
-
-        acc, _ = jax.lax.scan(body, jnp.zeros(out_shape, jnp.float32),
-                              (projs, minvs))
         # Riemann sum of the FBP integral over [0, pi): d_theta = pi / N
         # (this ramp convention carries no extra 1/2; validated against a
         # forward-projected phantom, scale error < 5%)
-        return acc * (jnp.pi / n_tilt)
+        return adjoint(projs, minvs) * (jnp.pi / n_tilt)
 
     if mesh is None:
         dev = resolve_device(device)
@@ -208,7 +266,8 @@ def sirt_reconstruct(projections, matrices, out_shape,
                      iterations: int = 30, relax: float = 1.0,
                      projection_axis: int = 0,
                      initial=None, device: str = "tpu",
-                     output: Optional[str] = None):
+                     output: Optional[str] = None,
+                     _force_plan=None, _interpret: bool = False):
     """Simultaneous Iterative Reconstruction Technique (SIRT).
 
     Iterates ``x += relax * C A^T R (p - A x)`` where ``A`` is the
@@ -234,6 +293,7 @@ def sirt_reconstruct(projections, matrices, out_shape,
     if matrices.shape != (projections.shape[0], 4, 4):
         raise ValueError("matrices must be (N, 4, 4) matching projections")
     out_shape = tuple(int(s) for s in out_shape)
+    n_tilt = projections.shape[0]
     keep = [a for a in range(3) if a != projection_axis]
     minv = np.stack([np.linalg.inv(m) for m in matrices]).astype(np.float32)
 
@@ -242,29 +302,44 @@ def sirt_reconstruct(projections, matrices, out_shape,
     ms_dev = jax.device_put(jnp.asarray(matrices), dev)
     minv_dev = jax.device_put(jnp.asarray(minv), dev)
 
+    # TPU fast path for the forward operator: the same grid-batched Pallas
+    # program TiltSeriesProjector uses, with the source-layout prepare
+    # INSIDE the jit (the volume changes every iteration).  The forward
+    # sweep dominates SIRT's cost; the adjoint's 2-D gathers are cheap.
+    pallas_fwd = None
+    from ..transforms import _pick_impl
+    if _force_plan is not None or _pick_impl(dev) == "pallas":
+        from ..kernels import planner
+        from ..transforms import select_variant
+        env = (_force_plan if _force_plan is not None
+               else select_variant(matrices, out_shape, "linear",
+                                   "constant", dev))
+        if env is not None:
+            fits = [planner.fit_payload(env, m, out_shape, "linear",
+                                        "constant") for m in matrices]
+            if all(f is not None for f in fits):
+                run_b = planner.plan_batch_sampler(env, n_tilt, 0.0,
+                                                   interpret=_interpret)
+                payloads = jax.device_put(
+                    jnp.stack([planner.plan_payload(m, f)
+                               for m, f in zip(matrices, fits)]), dev)
+
+                def pallas_fwd(vol):
+                    prep = planner.plan_prepare(vol, env)
+                    return jnp.sum(run_b(prep, payloads),
+                                   axis=1 + projection_axis)
+
     def forward(vol, ms):
+        if pallas_fwd is not None:
+            return pallas_fwd(vol)
+
         def one(m):
             rot = affine_sample(vol, m, "linear", "constant", 0.0,
                                 out_shape=out_shape)
             return jnp.sum(rot, axis=projection_axis)
         return jax.vmap(one)(ms)
 
-    def adjoint(projs, minvs):
-        zi = jax.lax.broadcasted_iota(jnp.float32, out_shape, 0)
-        yi = jax.lax.broadcasted_iota(jnp.float32, out_shape, 1)
-        xi = jax.lax.broadcasted_iota(jnp.float32, out_shape, 2)
-
-        def body(acc, tilt):
-            proj, mi = tilt
-            rows = (mi[keep[0], 0] * zi + mi[keep[0], 1] * yi
-                    + mi[keep[0], 2] * xi + mi[keep[0], 3])
-            cols = (mi[keep[1], 0] * zi + mi[keep[1], 1] * yi
-                    + mi[keep[1], 2] * xi + mi[keep[1], 3])
-            return acc + _bilinear2d(proj, rows, cols), None
-
-        acc, _ = jax.lax.scan(body, jnp.zeros(out_shape, jnp.float32),
-                              (projs, minvs))
-        return acc
+    adjoint = _make_adjoint(minv, keep, out_shape, projections.shape[1:])
 
     @jax.jit
     def run(projs, ms, minvs, x0):
