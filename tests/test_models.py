@@ -229,3 +229,37 @@ def test_adjoint_rowgather_matches_general():
     a = np.asarray(jax.jit(fast)(projs, minv))
     b = np.asarray(jax.jit(slow)(projs, minv))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_sirt_arbitrary_orientations():
+    """Reconstruction from RANDOM full-sphere orientations (the
+    subtomogram-averaging / dual-axis regime): the general adjoint path
+    plus XLA forward recover the phantom with high fidelity."""
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+    from scipy.ndimage import gaussian_filter
+
+    from voltools_tpu.models import sirt_reconstruct
+    from voltools_tpu.ops.sampling import affine_sample
+    from voltools_tpu.utils import transform_matrix
+
+    shape = (18, 18, 18)
+    vol = gaussian_filter(np.random.default_rng(0).standard_normal(shape),
+                          1.6).astype(np.float32)
+    rng = np.random.default_rng(1)
+    ms = np.stack([np.asarray(transform_matrix(
+        rotation=tuple(rng.uniform(-180, 180, 3)), rotation_order="sxyz",
+        center=tuple(s / 2 for s in shape)), np.float32)
+        for _ in range(24)])
+    fwd = jax.jit(jax.vmap(lambda m: jnp.sum(
+        affine_sample(jnp.asarray(vol), m, "linear", "constant"), axis=0)))
+    p = np.asarray(fwd(jnp.asarray(ms)))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")   # XLA fallback for random envelopes
+        rec = sirt_reconstruct(p, ms, shape, iterations=20, device="jax")
+    c = 4
+    a = vol[c:-c, c:-c, c:-c].ravel()
+    b = rec[c:-c, c:-c, c:-c].ravel()
+    assert np.corrcoef(a, b)[0, 1] > 0.97
