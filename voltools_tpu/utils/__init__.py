@@ -1,6 +1,7 @@
 from .matrices import (
     AVAILABLE_ROTATIONS,
     AVAILABLE_UNITS,
+    rodrigues_matrix,
     rotation_matrix,
     scale_matrix,
     shear_matrix,
@@ -17,6 +18,7 @@ from .general import (
 __all__ = [
     "AVAILABLE_ROTATIONS",
     "AVAILABLE_UNITS",
+    "rodrigues_matrix",
     "rotation_matrix",
     "scale_matrix",
     "shear_matrix",
