@@ -264,7 +264,7 @@ def wbp_reconstruct(projections, matrices, out_shape,
 
 def sirt_reconstruct(projections, matrices, out_shape,
                      iterations: int = 30, relax: float = 1.0,
-                     projection_axis: int = 0,
+                     projection_axis: int = 0, nonneg: bool = False,
                      initial=None, device: str = "tpu",
                      output: Optional[str] = None,
                      _force_plan=None, _interpret: bool = False):
@@ -351,7 +351,10 @@ def sirt_reconstruct(projections, matrices, out_shape,
 
         def step(_, x):
             resid = (projs - forward(x, ms)) * rinv
-            return x + jnp.float32(relax) * cinv * adjoint(resid, minvs)
+            x = x + jnp.float32(relax) * cinv * adjoint(resid, minvs)
+            if nonneg:   # projected SIRT: density is non-negative
+                x = jnp.maximum(x, 0.0)
+            return x
 
         return jax.lax.fori_loop(0, iterations, step, x0)
 
