@@ -132,6 +132,7 @@ def test_gradient_alignment_recovers_rotation():
     """Gradient-based rigid alignment: recover a known small rotation by
     descending the MSE through the differentiable sampling path — the
     registration workflow the CUDA reference cannot support."""
+    optax = pytest.importorskip("optax")
     from voltools_tpu.utils import rodrigues_matrix
 
     rng = np.random.default_rng(11)
@@ -146,8 +147,6 @@ def test_gradient_alignment_recovers_rotation():
     def loss(w):
         out = affine_sample(vol, rodrigues_matrix(w, center), "linear")
         return jnp.mean((out - target) ** 2)
-
-    import optax
 
     opt = optax.adam(2e-2)
     w = jnp.zeros(3, jnp.float32)
