@@ -147,6 +147,21 @@ def test_wbp_mesh_parallel_matches_single():
     rec1 = wbp_reconstruct(p, ms, shape, device="jax")
     rec8 = wbp_reconstruct(p, ms, shape, mesh=mesh8)
     np.testing.assert_allclose(rec8, rec1, atol=1e-5)
+    # output-sharded variant: each device reconstructs its z slab from the
+    # replicated projections (memory-scaling axis); 16 % 8 == 0 here, and
+    # the padded-slab case is covered with a non-divisible extent
+    recv = wbp_reconstruct(p, ms, shape, mesh=mesh8, mesh_shard="volume")
+    np.testing.assert_allclose(recv, rec1, atol=1e-5)
+    shape_odd = (13,) + shape[1:]
+    vol_odd = vol[:13]
+    proj_o = TiltSeriesProjector(vol_odd, interpolation="linear",
+                                 device="jax")
+    ms_o = proj_o.tilt_matrices(angles, tilt_axis=0)
+    p_o = proj_o.project(angles, tilt_axis=0)
+    rec_o1 = wbp_reconstruct(p_o, ms_o, shape_odd, device="jax")
+    rec_ov = wbp_reconstruct(p_o, ms_o, shape_odd, mesh=mesh8,
+                             mesh_shard="volume")
+    np.testing.assert_allclose(rec_ov, rec_o1, atol=1e-5)
 
 
 def test_sirt_beats_wbp_on_missing_wedge():

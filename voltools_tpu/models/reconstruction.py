@@ -146,7 +146,7 @@ def _bilinear2d(img, yy, xx):
 def wbp_reconstruct(projections, matrices, out_shape,
                     projection_axis: int = 0,
                     filter_window: Optional[str] = "ramlak",
-                    filter_axis="auto", mesh=None,
+                    filter_axis="auto", mesh=None, mesh_shard: str = "tilts",
                     device: str = "tpu", output: Optional[str] = None):
     """Weighted back-projection from a tilt series.
 
@@ -167,10 +167,14 @@ def wbp_reconstruct(projections, matrices, out_shape,
         the tilt axis.  'auto' (default) detects it for single-axis tilt
         series: the projection axis whose coordinate map stays identity
         across every matrix IS the tilt axis; the other one is filtered.
-    mesh : optional 1-D ``jax.sharding.Mesh`` — shard the tilt batch over
-        the mesh; each device back-projects its share and the partial
-        volumes are ``psum``-reduced over ICI (the batch is padded with
-        zero projections when it does not divide evenly).
+    mesh : optional 1-D ``jax.sharding.Mesh``.  With
+        ``mesh_shard='tilts'`` (default) the tilt batch is sharded: each
+        device back-projects its share and the partial volumes are
+        ``psum``-reduced over ICI (zero-padded when the batch does not
+        divide evenly).  With ``mesh_shard='volume'`` the OUTPUT z-axis
+        is sharded instead — each device reconstructs only its slab from
+        the replicated projections, so the full volume never has to fit
+        one device's HBM (the memory-scaling axis for large tomograms).
     output : None -> host numpy; 'device' -> device array.
 
     Returns the (D, H, W) reconstruction scaled by ``pi / N`` (parallel-
@@ -230,6 +234,42 @@ def wbp_reconstruct(projections, matrices, out_shape,
         proj_dev = jax.device_put(jnp.asarray(projections), dev)
         minv_dev = jax.device_put(jnp.asarray(minv), dev)
         result = jax.jit(backproject)(proj_dev, minv_dev)
+    elif mesh_shard == "volume":
+        # output-sharded: each device reconstructs its z slab from the
+        # replicated (small) projections -- the full volume never
+        # materialises on one device.  The slab offset folds into the
+        # M^-1 translation column (coordinates are affine in z).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.sharded import _shard_map
+        axis = mesh.axis_names[0]
+        nd = mesh.devices.size
+        D = out_shape[0]
+        padz = (-D) % nd
+        local = (D + padz) // nd
+        slab = (local,) + out_shape[1:]
+        adjoint_s = _make_adjoint(minv, keep, slab, projections.shape[1:])
+        proj_dev = jax.device_put(jnp.asarray(projections),
+                                  NamedSharding(mesh, P()))
+        minv_dev = jax.device_put(jnp.asarray(minv),
+                                  NamedSharding(mesh, P()))
+
+        def body(projs, minvs):
+            if filter_window is not None:
+                projs = ramp_filter(projs, axis=filter_axis,
+                                    window=filter_window)
+            idx = jax.lax.axis_index(axis)
+            off = (idx * local).astype(jnp.float32)
+            mv = minvs.at[:, :, 3].add(minvs[:, :, 0] * off)
+            return adjoint_s(projs, mv) * (jnp.pi / n_tilt)
+
+        fn = jax.jit(_shard_map(body, mesh=mesh, in_specs=(P(), P()),
+                                out_specs=P(axis)))
+        result = fn(proj_dev, minv_dev)
+        if padz:
+            result = result[:D]
+    elif mesh_shard != "tilts":
+        raise ValueError("mesh_shard must be 'tilts' or 'volume'")
     else:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
