@@ -301,3 +301,26 @@ def test_sirt_nonneg_constraint():
     c = 4
     a = vol[c:-c, c:-c, c:-c].ravel()
     assert np.corrcoef(a, rec[c:-c, c:-c, c:-c].ravel())[0, 1] > 0.9
+
+
+@pytest.mark.parametrize("pax,tilt_axis", [(1, 0), (2, 1)])
+def test_wbp_other_projection_axes(pax, tilt_axis):
+    """The reconstruction loop closes for every projection axis, not just
+    the default beam-along-axis-0 geometry."""
+    from scipy.ndimage import gaussian_filter
+
+    from voltools_tpu.models import TiltSeriesProjector, wbp_reconstruct
+
+    shape = (20, 22, 24)
+    rng = np.random.default_rng(0)
+    vol = gaussian_filter(rng.standard_normal(shape), 1.6).astype(np.float32)
+    proj = TiltSeriesProjector(vol, interpolation="linear", device="jax",
+                               projection_axis=pax)
+    angles = np.arange(0.0, 180.0, 10.0)
+    ms = proj.tilt_matrices(angles, tilt_axis=tilt_axis)
+    p = proj.project(angles, tilt_axis=tilt_axis)
+    rec = wbp_reconstruct(p, ms, shape, projection_axis=pax, device="jax")
+    c = 5
+    a = vol[c:-c, c:-c, c:-c].ravel()
+    b = rec[c:-c, c:-c, c:-c].ravel()
+    assert np.corrcoef(a, b)[0, 1] > 0.95
