@@ -34,8 +34,9 @@ BASELINE_STATIC_MS = 8.768   # static_vol_out, 250^3 linear (BASELINE.md)
 BASELINE_CP_MS = 12.710      # cp_transform_out, 250^3 linear (BASELINE.md)
 BASELINE_CUBIC_MS = 34.69    # static_vol_out, 250^3 filt_bspline
 
-N_ROT = 16      # linear rotations measured (one compiled program each)
-N_ROT_CUBIC = 8  # cubic rotations (heavier compiles)
+N_ROT = 16       # linear rotations measured (one compiled program each)
+N_ROT_CUBIC = 16  # cubic rotations: same n as linear so the worst-case
+                  # statistic is comparable across interpolation families
 ITERS = 8       # chained applications per program
 
 
@@ -132,6 +133,7 @@ def main():
         "cubic_ms": round(mean_cub, 3) if mean_cub else None,
         "cubic_vs_baseline": (round(BASELINE_CUBIC_MS / mean_cub, 2)
                               if mean_cub else None),
+        "cubic_worst_ms": round(max(cub), 3) if cub else None,
         "cubic_per_rotation_ms": cub,
     }))
 

@@ -225,3 +225,13 @@ def test_last_dispatch_reports_tier(small_volume):
     vt.affine(small_volume, random_matrix(2, small_volume.shape), device="jax")
     info = vt.last_dispatch()
     assert info is not None and info["impl"] in ("pallas", "xla")
+
+
+def test_version_matches_packaging():
+    """__version__ must match pyproject.toml (round-3 verdict weak #6)."""
+    import pathlib
+    import re
+    root = pathlib.Path(vt.__file__).resolve().parent.parent
+    text = (root / "pyproject.toml").read_text()
+    pv = re.search(r'^version = "([^"]+)"', text, re.M).group(1)
+    assert vt.__version__ == pv

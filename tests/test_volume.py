@@ -145,3 +145,31 @@ def test_device_sampler_no_deadlock_on_fresh_walk_plan(small_volume,
     t.start()
     assert done.wait(timeout=60.0), "_device_sampler deadlocked"
     assert result["sampler"] is not None
+
+
+def test_static_volume_donated_device_output(small_volume, cube_volume):
+    """output=<device array> donates the buffer: the result is correct and
+    chaining out = affine(m, output=out) works allocation-free (on backends
+    without donation support jax just warns and allocates — semantics are
+    identical either way)."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    sv = StaticVolume(small_volume, device="jax")
+    m1 = rotation_matrix((10, -20, 30), rotation_order="sxyz")
+    m2 = rotation_matrix((-5, 40, 15), rotation_order="sxyz")
+    expected1 = sv.affine(m1)
+    expected2 = sv.affine(m2)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # CPU backend: donation unsupported
+        out = sv.affine(m1, output="device")
+        out = sv.affine(m1, output=out)      # donate the previous result
+        np.testing.assert_allclose(np.asarray(out), expected1, atol=2e-5)
+        out = sv.affine(m2, output=out)      # chained sweep step
+        np.testing.assert_allclose(np.asarray(out), expected2, atol=2e-5)
+
+    # wrong shape/dtype buffers are rejected, not silently reallocated
+    with pytest.raises(ValueError):
+        sv.affine(m1, output=jnp.zeros((4, 4, 4), jnp.float32))

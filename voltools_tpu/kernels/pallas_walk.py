@@ -1440,3 +1440,36 @@ def affine_sample_pallas_walk(volume, matrix, v: WalkVariant,
     """Prepare the source layout and run the plane-walk kernel."""
     return walk_sample_prepared(prepare_walk_volume(volume, v), matrix, v,
                                 cval, interpret)
+
+
+@functools.lru_cache(maxsize=128)
+def _walk_donor(vc: WalkVariant, cval: float, po, interpret: bool):
+    """Jitted runner+unblocker that DONATES a caller device buffer to back
+    the final output (``jax.jit(..., donate_argnums)`` — the TPU-native
+    analogue of the reference's caller-provided GPU output array,
+    ``voltools/volume.py:72-75``).  The donated parameter is unused in the
+    dataflow; jax aliases donated inputs to outputs by matching shape/dtype,
+    so XLA writes the result into the donated buffer's HBM instead of
+    allocating a fresh one.  Keyed per canonical form + output permutation:
+    an orientation sweep shares one executable."""
+    import jax
+
+    runner = _walk_runner(vc, cval, interpret)
+    unblock = _unblocker(vc.out_d, vc.vb, vc.wb, vc.gu, vc.gv, po)
+
+    def run(vol_s, cols, out_buf):
+        del out_buf   # donated: its memory backs the result via aliasing
+        return unblock(runner(vol_s, cols))
+
+    return jax.jit(run, donate_argnums=(2,), keep_unused=True)
+
+
+def walk_sample_prepared_into(vol_s, matrix, v: WalkVariant, out_buf,
+                              cval: float = 0.0, interpret: bool = False):
+    """Like :func:`walk_sample_prepared`, but donates ``out_buf`` (a device
+    array of the output's shape/dtype) so the result reuses its HBM.  The
+    donated array is consumed — callers chain ``out = f(..., out)``."""
+    cols = permute_matrix(matrix, v)
+    donor = _walk_donor(canonical_walk_variant(v), float(cval), v.po,
+                        bool(interpret))
+    return donor(vol_s, cols, out_buf)

@@ -294,3 +294,25 @@ def plan_sampler(plan: Plan, cval: float = 0.0):
 
     return jax.jit(lambda vol, m: affine_sample_pallas_variant(
         vol, m, plan, cval))
+
+
+def plan_sampler_into(plan: Plan, cval: float = 0.0):
+    """A callable ``(prepared, matrix, out_buf) -> output`` that DONATES
+    ``out_buf`` (a device array of the output shape/dtype) so the result
+    reuses its HBM instead of allocating fresh — the jax-native equivalent
+    of the reference's caller-provided device output array
+    (``voltools/volume.py:72-75``).  The donated array is consumed."""
+    if isinstance(plan, WalkVariant):
+        from .pallas_walk import walk_sample_prepared_into
+
+        def run(prepared, matrix, out_buf):
+            return walk_sample_prepared_into(prepared, matrix, plan,
+                                             out_buf, cval)
+        return run
+    import jax
+
+    def _tree(vol, m, out_buf):
+        del out_buf   # donated: aliased to the output by shape/dtype
+        return affine_sample_pallas_variant(vol, m, plan, cval)
+
+    return jax.jit(_tree, donate_argnums=(2,), keep_unused=True)

@@ -355,8 +355,9 @@ def affine(volume: np.ndarray,
                                        and output == "device")):
         raise ValueError(
             "output must be None, a numpy array to fill, or 'device' to keep "
-            "the result on the accelerator (jax arrays are immutable, so "
-            "in-place device outputs are expressed via donation instead)")
+            "the result on the accelerator (jax arrays are immutable; for "
+            "allocation-free device-output sweeps pass a device array to "
+            "StaticVolume.affine(output=...), which donates its buffer)")
 
     timer = ProfileTimer() if profile else None
     if timer:

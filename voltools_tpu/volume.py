@@ -107,6 +107,14 @@ class StaticVolume:
                                  prefiltered=True)
 
         self._sampler = jax.jit(_sample)
+
+        def _sample_into(volume, matrix, out_buf):
+            del out_buf   # donated: aliased to the output by shape/dtype
+            return _sample(volume, matrix)
+
+        # donating XLA-path sampler (fallback when no pallas plan applies)
+        self._sampler_into = jax.jit(_sample_into, donate_argnums=(2,),
+                                     keep_unused=True)
         self._batch_sampler = jax.jit(jax.vmap(_sample, in_axes=(None, 0)))
         self._variant_samplers = {}
         self._walk_layouts = {}
@@ -133,17 +141,18 @@ class StaticVolume:
                 prep = self._walk_layouts.setdefault(key, prep)
         return prep
 
-    def _device_sampler(self, transform_m):
+    def _device_sampler(self, transform_m, into: bool = False):
         """Pick the pallas fast path when the matrix qualifies (the data is
         already prefiltered, so the kernel samples it directly).  Plan
         selection handles compiled-kernel reuse (sticky fits for walk plans,
         cost-gated envelopes for select-tree plans), so angle sweeps don't
-        recompile per step."""
+        recompile per step.  ``into=True`` returns the donating form
+        ``(vol, m, out_buf) -> result`` (out_buf's HBM backs the result)."""
         from .transforms import select_variant
         plan = select_variant(transform_m, self.shape, self.interpolation,
                               self.mode, self._jdev)
         if plan is None:
-            return self._sampler
+            return self._sampler_into if into else self._sampler
         if self._autotune > 1:
             from .kernels.planner import autotune_plan, plan_covers
             with self._variant_lock:
@@ -163,17 +172,25 @@ class StaticVolume:
             if tuned is not None:
                 plan = tuned
         with self._variant_lock:
-            sampler = self._variant_samplers.get(plan)
+            skey = (plan, "into") if into else plan
+            sampler = self._variant_samplers.get(skey)
             if sampler is None:
-                from .kernels.planner import plan_sampler
+                from .kernels.planner import plan_sampler, plan_sampler_into
                 prep = self._prepared_source(plan)
-                run = plan_sampler(plan, self.cval)
+                if into:
+                    run = plan_sampler_into(plan, self.cval)
 
-                def sampler(vol, m, _run=run, _prep=prep):
-                    del vol  # the prepared layout stands in for the volume
-                    return _run(_prep, m)
+                    def sampler(vol, m, out_buf, _run=run, _prep=prep):
+                        del vol
+                        return _run(_prep, m, out_buf)
+                else:
+                    run = plan_sampler(plan, self.cval)
 
-                self._variant_samplers[plan] = sampler
+                    def sampler(vol, m, _run=run, _prep=prep):
+                        del vol  # the prepared layout stands in
+                        return _run(_prep, m)
+
+                self._variant_samplers[skey] = sampler
                 # walk plans differ per matrix only in runtime payload
                 # fields; keep the wrapper dict bounded anyway
                 if len(self._variant_samplers) > 96:
@@ -319,19 +336,39 @@ class StaticVolume:
     def affine(self, transform_m: np.ndarray, profile: bool = False,
                output=None) -> Union[np.ndarray, None]:
         """Apply a 4x4 pull-back matrix.  Per-call host->device traffic is the
-        matrix only (reference ``volume.py:61-91``)."""
+        matrix only (reference ``volume.py:61-91``).
+
+        ``output`` may be: None (return numpy), a numpy array to fill,
+        ``'device'`` (return a fresh device array), or a **device array** of
+        the volume's shape/dtype — the array is DONATED
+        (``jax.jit(..., donate_argnums)``) so the result reuses its HBM
+        instead of allocating a fresh buffer, and the new device array is
+        returned.  This is the jax-native form of the reference's
+        caller-provided GPU output (``volume.py:72-75``): chain
+        ``out = sv.affine(m, output=out)`` for an allocation-free sweep.
+        The donated array is consumed and must not be used afterwards."""
         if self.device == "cpu":
             return _affine_fn(self.data, transform_m,
                               interpolation=self._cpu_interp,
                               profile=profile, output=output, device="cpu",
                               mode=self.mode, cval=self.cval)
 
+        import jax
         import jax.numpy as jnp
-        sampler = self._device_sampler(transform_m)
+        donate = isinstance(output, jax.Array)
+        if donate and (tuple(output.shape) != self.shape
+                       or output.dtype != jnp.float32):
+            raise ValueError(
+                "device output buffer must match the volume's shape and be "
+                f"float32, got {output.shape} {output.dtype}")
+        sampler = self._device_sampler(transform_m, into=donate)
         timer = ProfileTimer() if profile else None
         if timer:
             timer.__enter__()
         try:
+            if donate:
+                return sampler(self.data,
+                               jnp.asarray(transform_m, jnp.float32), output)
             result = sampler(self.data,
                              jnp.asarray(transform_m, jnp.float32))
             if isinstance(output, str) and output == "device":
