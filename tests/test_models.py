@@ -324,3 +324,39 @@ def test_wbp_other_projection_axes(pax, tilt_axis):
     a = vol[c:-c, c:-c, c:-c].ravel()
     b = rec[c:-c, c:-c, c:-c].ravel()
     assert np.corrcoef(a, b)[0, 1] > 0.95
+
+
+def test_sirt_mesh_volume_sharded_matches_single():
+    """Volume-sharded SIRT (z-slab per device: per-slab zero-extension
+    forward psum'd over the mesh, slab-offset adjoint) equals the
+    single-device SIRT — including with a z extent that does not divide
+    the mesh, a non-default projection axis, and nonneg projection."""
+    from scipy.ndimage import gaussian_filter
+
+    from voltools_tpu.models import TiltSeriesProjector, sirt_reconstruct
+    from voltools_tpu.parallel import make_mesh
+
+    mesh8 = make_mesh(8)
+    shape = (24, 20, 20)
+    rng = np.random.default_rng(3)
+    vol = gaussian_filter(rng.standard_normal(shape), 2.0).astype(np.float32)
+    proj = TiltSeriesProjector(vol, interpolation="linear", device="jax")
+    angles = np.arange(-60.0, 61.0, 15.0)
+    ms = proj.tilt_matrices(angles, tilt_axis=0)
+    p = proj.project(angles, tilt_axis=0)
+
+    rec1 = sirt_reconstruct(p, ms, shape, iterations=5, device="jax")
+    rec8 = sirt_reconstruct(p, ms, shape, iterations=5, mesh=mesh8)
+    np.testing.assert_allclose(rec8, rec1, atol=5e-5)
+
+    # odd z extent (24 -> 23: slabs padded), nonneg projection
+    shape_o = (23, 20, 20)
+    vol_o = vol[:23]
+    proj_o = TiltSeriesProjector(vol_o, interpolation="linear", device="jax")
+    ms_o = proj_o.tilt_matrices(angles, tilt_axis=1)
+    p_o = proj_o.project(angles, tilt_axis=1)
+    rec1_o = sirt_reconstruct(p_o, ms_o, shape_o, iterations=4,
+                              nonneg=True, device="jax")
+    rec8_o = sirt_reconstruct(p_o, ms_o, shape_o, iterations=4,
+                              nonneg=True, mesh=mesh8)
+    np.testing.assert_allclose(rec8_o, rec1_o, atol=5e-5)
