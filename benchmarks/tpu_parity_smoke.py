@@ -123,6 +123,25 @@ def main():
     check("sharded gather path", svs.affine(m_big),
           vt.affine(vol, m_big, device="cpu"), m_big)
 
+    # 6. data-parallel batched kernel under shard_map on hardware (the
+    # shard_map + pallas_call + Mosaic composition the CPU-mesh tests can
+    # only exercise in interpret mode)
+    from voltools_tpu.parallel import sharded_affine_batch
+    ms_dp = np.stack([
+        transform_matrix(rotation=tuple(rng.uniform(-180, 180, 3)),
+                         rotation_order="sxyz", center=center)
+        for _ in range(3)]).astype(np.float32)
+    outs_dp = sharded_affine_batch(vol, ms_dp, mesh=make_mesh(1))
+    for i in (0, 2):
+        want = vt.affine(vol, ms_dp[i], device="cpu")
+        check(f"sharded_affine_batch[{i}]", outs_dp[i], want, ms_dp[i])
+
+    # 7. donated device-output buffer (output= reuse via donate_argnums)
+    ref = sv.affine(ms[1])
+    out_buf = sv.affine(ms[1], output="device")
+    out_buf = sv.affine(ms[1], output=out_buf)
+    check("donated device output", np.asarray(out_buf), ref, ms[1])
+
     if failures:
         print(f"\n{len(failures)} FAILURES: {failures}")
         return 1

@@ -67,6 +67,18 @@ _MACROS = ((1, 8), (2, 4), (1, 4), (2, 2), (4, 2),
            # so the grid can run vreg-sized tiles without a redundancy tax
            (1, 1), (1, 2), (2, 1))
 
+# --- experiment hooks (defaults = production behavior; experiments set
+# these and call _walk_runner.cache_clear() -- the lru caches do not key on
+# them) ---------------------------------------------------------------------
+_UNROLL_OVERRIDE = None   # planes per unrolled group in the compiled walk
+                          # (None = fully unrolled, the production setting)
+_DX_SPLIT = 0             # >0: process the dx slots in groups of this size,
+                          # re-reading the band rows per group (live-range /
+                          # spill probe for the ndx>=4 class)
+_MXU_RESOLVE = False      # resolve x with a one-hot MXU contraction instead
+                          # of lane gathers (HIGHEST precision: parity-exact;
+                          # measurement probe for the judge's scheme (a))
+
 # Parameter quantization ladders.  A compiled kernel depends on the variant's
 # geometric parameters but NOT on the axis permutations (ps/po only permute
 # host-side data movement), so rounding parameters up to a coarse ladder
@@ -229,6 +241,56 @@ _PERMS = tuple(itertools.permutations((0, 1, 2)))
 _KAXES = (-1, 0, 1, 2)
 _LADDER_ARR = np.asarray(_SLOP_LADDER)
 
+# Strip windows were implemented, parity-validated, and then MEASURED
+# 9-18% slower than classic windows at 250^3 cubic (exp_r3_strips: window
+# DMA already hides behind gather compute), so the chooser never selected
+# them.  Skipping their cost block saves ~25% of the host planning time
+# (the one-shot path pays planning per fresh matrix); the kernel path
+# stays available for explicit opt-in / experiments via this flag.
+_CHOOSER_STRIPS = False
+
+# chooser constants hoisted out of the per-call body (host planning is on
+# the one-shot critical path)
+_E_ALL = np.array([[7.0, vb - 1.0, wb - 1.0] for vb, wb in _PACKINGS],
+                  np.float32)                          # (P, 3)
+_EM_ALL = np.array([[[8.0 * gu - 1.0, vb * gv - 1.0, wb - 1.0]
+                     for gu, gv in _MACROS]
+                    for vb, wb in _PACKINGS], np.float32)  # (P, M, 3)
+_GUV = np.array([gu * gv for gu, gv in _MACROS])       # (M,)
+_GUS = np.array([gu for gu, gv in _MACROS])
+_GVS = np.array([gv for gu, gv in _MACROS])
+_VBS = np.array([vb for vb, wb in _PACKINGS])
+_WBS = np.array([wb for vb, wb in _PACKINGS])
+
+
+@functools.lru_cache(maxsize=64)
+def _shape_tables(vol_shape, out_shape, xpad):
+    """Matrix-independent chooser tables for one (volume, output, xpad)
+    geometry: permuted dims, padded-vreg counts, and whole-resident-mode
+    byte sizes.  Cached -- sweeps and one-shot calls over the same volume
+    shape pay these allocations once, not per matrix."""
+    d0 = np.array([vol_shape[ps[0]] for ps in _PERMS for _ in _PERMS])
+    d1 = np.array([vol_shape[ps[1]] for ps in _PERMS for _ in _PERMS])
+    d2 = np.array([vol_shape[ps[2]] + 2 * xpad
+                   for ps in _PERMS for _ in _PERMS])
+    o0 = np.array([out_shape[po[0]] for _ in _PERMS for po in _PERMS])
+    o1 = np.array([out_shape[po[1]] for _ in _PERMS for po in _PERMS])
+    o2 = np.array([out_shape[po[2]] for _ in _PERMS for po in _PERMS])
+    dx_pad = ((d2 + 127) // 128) * 128
+    # padded output vreg count per (perm, packing, macro): the grid covers
+    # ceil-rounded macro tiles, so the kernel resolves THESE vregs, not
+    # o0*o1*o2/1024 -- at small sizes padding is a 1.2-1.6x real cost the
+    # model must see to pick low-padding packings/macros
+    u_vregs = (-(-o0[:, None, None] // (8 * _GUS)) * _GUS)       # (36,1,M)
+    v_vregs = (-(-o1[:, None, None] // (_VBS[:, None] * _GVS))
+               * _GVS)                                           # (36,P,M)
+    w_vregs = -(-o2[:, None, None] // _WBS[:, None])             # (36,P,1)
+    npad = (u_vregs * v_vregs * w_vregs).astype(np.float64)     # (36,P,M)
+    xww = dx_pad
+    nbww = xww // 128
+    whole_bytes = (d0 * d1 * xww * 4).astype(np.float64)
+    return (d0, d1, d2, o0, o1, o2, dx_pad, npad, xww, nbww, whole_bytes)
+
 
 def _ladder_arr(x):
     """Vectorized slop ladder: round each element up to the next rung."""
@@ -342,17 +404,10 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
     kapM = np.abs(geo["kappa"]).max(1)                # (36, 4)
     resM = np.abs(geo["res"]).max(1)                  # (36, 4, 3)
 
-    # permutation-dependent dims
+    # permutation-dependent dims (matrix-independent: cached per shape)
     xpad = 2 if (order == 3 and mode == "constant") else 0
-    d0 = np.array([vol_shape[ps[0]] for ps in _PERMS for _ in _PERMS])
-    d1 = np.array([vol_shape[ps[1]] for ps in _PERMS for _ in _PERMS])
-    d2 = np.array([vol_shape[ps[2]] + 2 * xpad
-                   for ps in _PERMS for _ in _PERMS])
-    o0 = np.array([out_shape[po[0]] for _ in _PERMS for po in _PERMS])
-    o1 = np.array([out_shape[po[1]] for _ in _PERMS for po in _PERMS])
-    o2 = np.array([out_shape[po[2]] for _ in _PERMS for po in _PERMS])
-    dx_pad = ((d2 + 127) // 128) * 128
-    nvregs = (o0 * o1 * o2) / 1024.0
+    (d0, d1, d2, o0, o1, o2, dx_pad, npad, xww, nbww,
+     whole_bytes) = _shape_tables(tuple(vol_shape), tuple(out_shape), xpad)
     ndx0 = ntaps + slop_lo + slop_hi
     if xpad:
         # _preparer's mirror extension slices xpad planes off each x side;
@@ -362,12 +417,9 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
 
     # fully-vectorized search over C=36 perms x K=4 kax x P packings x M
     # macros (one pass of medium-sized numpy arrays, ~1 ms host time)
-    e_all = np.array([[7.0, vb - 1.0, wb - 1.0] for vb, wb in _PACKINGS],
-                     np.float32)                      # (P, 3)
-    E_all = np.array([[[8.0 * gu - 1.0, vb * gv - 1.0, wb - 1.0]
-                       for gu, gv in _MACROS]
-                      for vb, wb in _PACKINGS], np.float32)  # (P, M, 3)
-    guv = np.array([gu * gv for gu, gv in _MACROS])   # (M,)
+    e_all = _E_ALL
+    E_all = _EM_ALL
+    guv = _GUV
     t_lo, t_hi = geo["t_lo"], geo["t_hi"]
 
     span_z = np.abs(A[:, :, 0, :3]) @ e_all.T         # (36, N, P)
@@ -415,26 +467,10 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
     win_bytes = _PIPELINE_DEPTH * w0[:, None] * w1 * xw[:, None] * 4
     ok = ok0[..., None] & (hy[..., None] <= w1) & (win_bytes <= _VMEM_BUDGET)
 
-    # padded output vreg count per (perm, packing, macro): the grid covers
-    # ceil-rounded macro tiles, so the kernel resolves THESE vregs, not
-    # o0*o1*o2/1024 -- at small sizes padding is a 1.2-1.6x real cost the
-    # model must see to pick low-padding packings/macros
-    gus = np.array([gu for gu, gv in _MACROS])        # (M,)
-    gvs = np.array([gv for gu, gv in _MACROS])
-    vbs = np.array([vb for vb, wb in _PACKINGS])      # (P,)
-    wbs = np.array([wb for vb, wb in _PACKINGS])
-    u_vregs = (-(-o0[:, None, None] // (8 * gus)) * gus)        # (36,1,M)
-    v_vregs = (-(-o1[:, None, None] // (vbs[:, None] * gvs))
-               * gvs)                                           # (36,P,M)
-    w_vregs = -(-o2[:, None, None] // wbs[:, None])             # (36,P,1)
-    npad = (u_vregs * v_vregs * w_vregs).astype(np.float64)     # (36,P,M)
-
     # whole-resident mode: the full prepared volume fits one VMEM slot --
     # DMA it once at grid step 0, no per-macro windows, no pipelining.
     # Small volumes otherwise pay a >10x window-redundancy DMA tax.
-    xww = dx_pad                                       # (36,)
-    nbww = xww // 128
-    whole_bytes = (d0 * d1 * xww * 4).astype(np.float64)
+    # (npad / xww / nbww / whole_bytes come from the shape-table cache.)
     whole_fits = ((whole_bytes <= _VMEM_BUDGET)[:, None, None]
                   & (hy <= d1[:, None, None]))         # (36,4,P)
     ok_w = ok0 & whole_fits
@@ -477,28 +513,29 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
                + 300.0 * nbww)[:, None, None, None], np.inf)
 
         # strip-window mode: per chunk of cs planes, DMA only the tile's
-        # band rows at that chunk (band-following).  Drops the
-        # kappa*(w0+1) y-sweep term from the window height, cutting both
-        # bytes and VMEM (so bigger macro tiles fit); costs nch x the DMA
-        # issue overhead.  The cubic regime is window-redundancy-bound
-        # without this (VMEM forces small macros there).
-        cs = _STRIP_CS
-        w0_s = -cs * (-w0 // cs)                              # (36,P,M)
-        sh = (np.ceil(np.einsum("ckj,pmj->ckpm", resM, E_all)
-                      + kapM[:, :, None, None] * (cs + 1.0))
-              .astype(np.int64) + 3 + hy[..., None])          # (36,K,P,M)
-        sh = np.minimum(-8 * (-sh // 8), d1[:, None, None, None])
-        nch = w0_s // cs
-        win_bytes_s = (_PIPELINE_DEPTH * w0_s[:, None] * sh
-                       * xw[:, None] * 4)
-        ok_s = (ok0[..., None] & (hy[..., None] <= sh)
-                & (w0_s <= d0[:, None, None])[:, None]
-                & (win_bytes_s <= _VMEM_BUDGET))
-        dma_s = ((w0_s[:, None] * sh * xw[:, None] * 4.0) / guv / 750.0
-                 + 300.0 * (nbw * nch)[:, None] / guv)        # ns/vreg
-        tot_s = (np.maximum(per_vreg, dma_s)
-                 + 0.25 * np.minimum(per_vreg, dma_s))
-        cost_s = np.where(ok_s, tot_s * npad[:, None], np.inf)
+        # band rows at that chunk (band-following).  Measured slower than
+        # classic windows on this hardware (exp_r3_strips) so skipped by
+        # default (_CHOOSER_STRIPS); the kernel path remains validated and
+        # available for opt-in.
+        cost_s = None
+        if _CHOOSER_STRIPS:
+            cs = _STRIP_CS
+            w0_s = -cs * (-w0 // cs)                          # (36,P,M)
+            sh = (np.ceil(np.einsum("ckj,pmj->ckpm", resM, E_all)
+                          + kapM[:, :, None, None] * (cs + 1.0))
+                  .astype(np.int64) + 3 + hy[..., None])      # (36,K,P,M)
+            sh = np.minimum(-8 * (-sh // 8), d1[:, None, None, None])
+            nch = w0_s // cs
+            win_bytes_s = (_PIPELINE_DEPTH * w0_s[:, None] * sh
+                           * xw[:, None] * 4)
+            ok_s = (ok0[..., None] & (hy[..., None] <= sh)
+                    & (w0_s <= d0[:, None, None])[:, None]
+                    & (win_bytes_s <= _VMEM_BUDGET))
+            dma_s = ((w0_s[:, None] * sh * xw[:, None] * 4.0) / guv / 750.0
+                     + 300.0 * (nbw * nch)[:, None] / guv)    # ns/vreg
+            tot_s = (np.maximum(per_vreg, dma_s)
+                     + 0.25 * np.minimum(per_vreg, dma_s))
+            cost_s = np.where(ok_s, tot_s * npad[:, None], np.inf)
 
         def _build(flat_i, kind):
             # kind: 0 = classic window, 1 = whole-resident, 2 = strips
@@ -535,8 +572,9 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
             # configs with DISTINCT Mosaic binaries (canonical form + data
             # layout), each coverage-validated.  Model error is ~±10-20%,
             # so measuring a few near-optimal configs on device recovers it.
-            flat = np.concatenate([cost.ravel(), cost_w.ravel(),
-                                   cost_s.ravel()])
+            flat = np.concatenate(
+                [cost.ravel(), cost_w.ravel()]
+                + ([cost_s.ravel()] if cost_s is not None else []))
             cands = []
             seen = set()
             order_i = np.argsort(flat)
@@ -560,7 +598,8 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
                     cands.append(v)
             return cands
 
-        kinds = (cost, cost_w, cost_s)
+        kinds = ((cost, cost_w, cost_s) if cost_s is not None
+                 else (cost, cost_w))
         kis = [int(np.argmin(c)) for c in kinds]
         kind = int(np.argmin([float(c.flat[i])
                               for c, i in zip(kinds, kis)]))
@@ -1091,6 +1130,17 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False,
                 for dx in dxs:
                     blk = xparts[dx][0]
                     bmask[dx] = [blk == b for b in range(1, nbw)]
+            # experiment hook: one-hot selection matrices for the MXU
+            # x-resolve (within is per-vreg constant, so these are built
+            # once and reused across all hz planes and y candidates)
+            onehots = None
+            if _MXU_RESOLVE and nbw == 1:
+                src_iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+                onehots = {
+                    dx: (src_iota == jnp.broadcast_to(
+                        xparts[dx][1][0:1, :], (128, 128))
+                         ).astype(jnp.float32)
+                    for dx in dxs}
             wfold = {}
             for dx in dxs:
                 acc = jnp.zeros((8, 128), jnp.float32)
@@ -1164,10 +1214,10 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False,
                 # this gather-and-consume ordering keeps one gathered vreg
                 # plus ntaps accumulators live.
                 hits = [None] * len(ytaps)
+                dx_groups = ([dxs] if not _DX_SPLIT else
+                             [dxs[i:i + _DX_SPLIT]
+                              for i in range(0, len(dxs), _DX_SPLIT)])
                 for c in range(ycand):
-                    rows = [win_ref[slot, b, zk - o0,
-                                    pl.ds(ybase + c * 8, 8), :]
-                            for b in range(nbw)]
                     mcs, moks = [], []
                     for iy, (yt, _) in enumerate(ytaps):
                         m = (yt - yb_k) - c * 8
@@ -1175,19 +1225,35 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False,
                         moks.append((m >= 0) & (m < 8) if ycand > 1
                                     else None)
                     parts = [None] * len(ytaps)
-                    for dx in dxs:
-                        _, within = xparts[dx]
-                        g = jnp.take_along_axis(rows[0], within, axis=1)
-                        for b in range(1, nbw):
-                            gat = jnp.take_along_axis(rows[b], within,
-                                                      axis=1)
-                            g = jnp.where(bmask[dx][b - 1], gat, g)
-                        wf = wfold[dx]
-                        for iy in range(len(ytaps)):
-                            p = wf * jnp.take_along_axis(g, mcs[iy],
-                                                         axis=0)
-                            parts[iy] = p if parts[iy] is None \
-                                else parts[iy] + p
+                    for grp in dx_groups:
+                        # band rows re-read per dx group (with one group --
+                        # the production setting -- this is the plain read)
+                        rows = [win_ref[slot, b, zk - o0,
+                                        pl.ds(ybase + c * 8, 8), :]
+                                for b in range(nbw)]
+                        for dx in grp:
+                            _, within = xparts[dx]
+                            if onehots is not None:
+                                g = jax.lax.dot_general(
+                                    rows[0], onehots[dx],
+                                    dimension_numbers=(((1,), (0,)),
+                                                       ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST)
+                            else:
+                                g = jnp.take_along_axis(rows[0], within,
+                                                        axis=1)
+                                for b in range(1, nbw):
+                                    gat = jnp.take_along_axis(rows[b],
+                                                              within,
+                                                              axis=1)
+                                    g = jnp.where(bmask[dx][b - 1], gat, g)
+                            wf = wfold[dx]
+                            for iy in range(len(ytaps)):
+                                p = wf * jnp.take_along_axis(g, mcs[iy],
+                                                             axis=0)
+                                parts[iy] = p if parts[iy] is None \
+                                    else parts[iy] + p
                     for iy in range(len(ytaps)):
                         part = parts[iy]
                         if moks[iy] is not None:
@@ -1204,7 +1270,7 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False,
             # (yb -> clip -> slice) with the others' vector work.  The
             # interpreter keeps the fori_loop instead (the unrolled trace
             # takes minutes to compile on CPU, with nothing to overlap).
-            unroll = 1 if interpret else hz
+            unroll = 1 if interpret else min(_UNROLL_OVERRIDE or hz, hz)
             def plane_pair(k2, acc):
                 for uu in range(unroll):
                     acc = plane_step(k2 * unroll + uu, acc)
@@ -1440,6 +1506,86 @@ def affine_sample_pallas_walk(volume, matrix, v: WalkVariant,
     """Prepare the source layout and run the plane-walk kernel."""
     return walk_sample_prepared(prepare_walk_volume(volume, v), matrix, v,
                                 cval, interpret)
+
+
+# Fused one-shot programs are keyed per (canonical, ps, po): a sticky-fit
+# sweep rotates through permutations and would compile a fresh XLA
+# executable (including its Mosaic kernel) per key, so the population is
+# capped -- one-shot users (few matrices) get the fused program, sweep
+# users overflow the cap and gracefully degrade to the eagerly-composed
+# stages (which share Mosaic binaries across permutations).
+_ONESHOT_CAP = 8
+_ONESHOT_KEYS: set = set()
+
+
+@functools.lru_cache(maxsize=32)
+def _oneshot_runner(vc: WalkVariant, ps, po, cval: float, prefilter: bool):
+    """ONE jitted program for the whole one-shot chain: [B-spline
+    prefilter] + prepare (transpose/pad/stack) + plane-walk kernel +
+    un-blocking.  The locally-attached one-shot path (the reference's
+    ``cp_transform``, ``transforms.py:164-226`` there) runs as a single
+    device program instead of 3-4 dispatched stages."""
+    import jax
+
+    prep = _preparer((ps, vc.d, vc.xg, vc.nbk, vc.xpad))
+    runner = _walk_runner(vc, cval, False)
+    unblock = _unblocker(vc.out_d, vc.vb, vc.wb, vc.gu, vc.gv, po)
+
+    def run(volume, cols):
+        if prefilter:
+            from ..ops.prefilter import bspline_prefilter
+            volume = bspline_prefilter(volume)
+        return unblock(runner(prep(volume), cols))
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=64)
+def _permuter(ps, po, xpad: int, kax: int):
+    """Jitted ``(matrix, y_lo) -> SMEM payload``: the traced form of
+    :func:`permute_matrix` (y_lo rides as a traced scalar so one trace
+    serves every matrix sharing the permutation)."""
+    import jax
+    import jax.numpy as jnp
+
+    def build(matrix, y_lo):
+        m = jnp.asarray(matrix, jnp.float32)
+        rows = jnp.stack([m[ps[k]] for k in range(3)])
+        cols = jnp.stack([rows[:, po[j]] for j in range(3)] + [rows[:, 3]],
+                         axis=1)
+        if xpad:
+            cols = cols.at[2, 3].add(jnp.float32(xpad))
+        if kax < 0:
+            kappa = jnp.float32(0.0)
+        else:
+            kappa = cols[1, kax] / cols[0, kax]
+        payload = jnp.stack([kappa, y_lo.astype(jnp.float32),
+                             jnp.float32(0.0), jnp.float32(0.0)])
+        return jnp.concatenate([cols, payload[None]], axis=0)
+
+    return jax.jit(build)
+
+
+def oneshot_walk_sampler(v: WalkVariant, cval: float, prefilter: bool):
+    """A fused one-shot callable ``(volume, matrix) -> output`` (ONE device
+    program + one payload build), or None when the fused-program population
+    cap is reached (the caller composes the cached stages eagerly)."""
+    import jax.numpy as jnp
+
+    key = (canonical_walk_variant(v), v.ps, v.po, float(cval),
+           bool(prefilter))
+    with _CANON_LOCK:
+        if key not in _ONESHOT_KEYS and len(_ONESHOT_KEYS) >= _ONESHOT_CAP:
+            return None
+        _ONESHOT_KEYS.add(key)
+    run = _oneshot_runner(*key)
+    permute = _permuter(v.ps, v.po, v.xpad, v.kax)
+    y_lo = jnp.int32(v.y_lo)
+
+    def sample(volume, matrix):
+        return run(volume, permute(matrix, y_lo))
+
+    return sample
 
 
 @functools.lru_cache(maxsize=128)

@@ -137,6 +137,17 @@ def _jitted_affine(interpolation: str, mode: str, cval: float,
     from .ops.interpolation import needs_prefilter
 
     if isinstance(variant, WalkVariant):
+        # one-shot fast path: the whole chain (prefilter + prepare + kernel
+        # + unblock) as ONE fused device program -- the analogue of the
+        # reference's single cp_transform launch.  Population-capped: a
+        # sticky-fit sweep rotating through permutations falls back to the
+        # eagerly-composed stages below, which share one Mosaic binary per
+        # canonical form across permutations.
+        from .kernels.pallas_walk import oneshot_walk_sampler
+        fused = oneshot_walk_sampler(variant, cval,
+                                     needs_prefilter(interpolation))
+        if fused is not None:
+            return fused
         # eager composition of independently-cached jitted stages: the
         # expensive Mosaic binary is shared by every variant with the same
         # canonical form, so angle sweeps don't recompile per orientation
