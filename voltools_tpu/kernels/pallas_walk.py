@@ -238,6 +238,21 @@ def _geometry(a, order, vb, wb, kax):
 
 
 _PERMS = tuple(itertools.permutations((0, 1, 2)))
+# Band-line slope candidates: kappa in {0, a10/a00, a11/a01, a12/a02}.
+# These four realize the CONTINUOUS optimum of the band height: for active
+# elements at plane zk (those with |zf - zk| < t_hi), the y residual
+# against a line of slope kappa is (a1 - kappa*a0) . xi + kappa*(zf - zk)
+# with xi over the patch box, so the required band height is
+#   W(kappa) = sum_i |a1i - kappa*a0i| * e_i + |kappa| * t_hi  (+ taps),
+# a convex piecewise-linear function of kappa whose breakpoints are exactly
+# kappa = 0 and kappa = a1i/a0i.  A convex piecewise-linear function attains
+# its minimum at a breakpoint, so searching these four IS the exhaustive
+# continuous search: hy cannot be reduced by any finer line-slope choice.
+# (The plane-slice constraint a0 . xi = const is absorbed into the line
+# offset by the same argument — adding lambda*(a0.xi - c) re-parameterizes
+# kappa — so W is also the exact bound for the per-plane ACTIVE set, not a
+# whole-patch over-approximation: conditional skipping of band candidates
+# that "usually" have no active rows cannot fire often enough to pay.)
 _KAXES = (-1, 0, 1, 2)
 _LADDER_ARR = np.asarray(_SLOP_LADDER)
 
@@ -1213,6 +1228,19 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False,
                 # ~quadratic in ndx -- scheduling/spill pressure -- while
                 # this gather-and-consume ordering keeps one gathered vreg
                 # plus ntaps accumulators live.
+                #
+                # The lane-gather-BEFORE-sublane-take order is forced, not a
+                # choice: composing the two per-element resolves the other
+                # way (sublane-take first, then lane-gather) evaluates
+                # take_sub(rows, M)[s, W[l]] = rows[M[s, W[l]], W[l]] where
+                # the needed value is rows[M[s, l], W[l]] -- the y index
+                # gets permuted by the x gather unless M is lane-constant,
+                # which it is not (yf varies across lanes).  Hence
+                # ycand*ndx lane gathers + ndx*ntaps sublane takes per plane
+                # is the structural floor of this resolve; every measured
+                # restructure (unroll tiers, dx splits, MXU one-hot
+                # contraction, y-first ordering) lands on the same op count
+                # or worse (exp_r4_ndx4.py, BENCHMARKS.md round-4 notes).
                 hits = [None] * len(ytaps)
                 dx_groups = ([dxs] if not _DX_SPLIT else
                              [dxs[i:i + _DX_SPLIT]
