@@ -12,7 +12,17 @@ Prints ONE JSON line:
   {"metric": ..., "value": <linear mean ms>, "unit": "ms",
    "vs_baseline": <speedup x vs linear static_vol_out>,
    "per_rotation_ms": [...], "cubic_ms": <cubic mean>,
-   "cubic_vs_baseline": ..., "cubic_per_rotation_ms": [...]}
+   "cubic_vs_baseline": ..., "cubic_per_rotation_ms": [...],
+   "oneshot_ms": <host plan + fused prepare/kernel/unblock chain, mean>,
+   "oneshot_vs_cp_out": <12.71 / oneshot_ms>, ...}
+
+The one-shot section measures the reference's ``cp_transform[_out]`` story
+(device-resident volume, fresh matrix each call, everything after the
+matrix arrives): host planning + ONE fused device program doing
+prepare + kernel + un-blocking.  Each rotation's fused program is a fresh
+XLA compile; to bound the bench wall clock on a cold compilation cache the
+section stops admitting new rotations once it has spent its time budget
+and reports the n it reached.
 
 Timing method: this environment reaches the TPU through an RPC tunnel where
 ``block_until_ready`` returns before execution finishes and every host
@@ -38,6 +48,8 @@ N_ROT = 16       # linear rotations measured (one compiled program each)
 N_ROT_CUBIC = 16  # cubic rotations: same n as linear so the worst-case
                   # statistic is comparable across interpolation families
 ITERS = 8       # chained applications per program
+ONESHOT_BUDGET_S = 900.0   # wall budget for the one-shot section's fresh
+                           # fused-program compiles (cold-cache guard)
 
 
 def main():
@@ -116,11 +128,74 @@ def main():
                   f"{ms:.2f} ms ({kind})", file=sys.stderr)
         return times
 
+    def oneshot_sweep(n_rot):
+        """Measured one-shot path (reference cp_transform_out story): tight
+        host plan + ONE fused device program (prepare + kernel + unblock),
+        device-resident volume, fresh matrix per call."""
+        from voltools_tpu.kernels.pallas_walk import (WalkVariant,
+                                                      _oneshot_runner,
+                                                      _permuter,
+                                                      canonical_walk_variant)
+        rot_rng = np.random.default_rng(0)
+        rot_rng.random((size,) * 3, dtype=np.float64)  # align the stream
+        times, plan_ms = [], []
+        t_section = time.perf_counter()
+        for i in range(n_rot):
+            ang = rot_rng.uniform(-180, 180, 3)
+            if time.perf_counter() - t_section > ONESHOT_BUDGET_S:
+                print(f"# oneshot budget reached at rot {i}",
+                      file=sys.stderr)
+                break
+            m = transform_matrix(rotation=tuple(ang), rotation_order="sxyz",
+                                 center=center)
+            t0 = time.perf_counter()
+            plan = choose_plan(m, vol.shape, "linear", "constant",
+                               sticky=None)
+            t1 = time.perf_counter()
+            if not isinstance(plan, WalkVariant):
+                continue
+            plan_ms.append((t1 - t0) * 1e3)
+            run = _oneshot_runner(canonical_walk_variant(plan), plan.ps,
+                                  plan.po, 0.0, False)
+            permute = _permuter(plan.ps, plan.po, plan.xpad, plan.kax)
+            y_lo = jnp.int32(plan.y_lo)
+
+            @jax.jit
+            def chained(n, v, mat, _r=run, _p=permute, _y=y_lo):
+                def body(_, carry):
+                    mm, acc = carry
+                    out = _r(v, _p(mm, _y))
+                    probe = out[0, 0, 0] * jnp.float32(1e-38)
+                    return mm + probe, acc + probe
+                mm, acc = jax.lax.fori_loop(
+                    0, n, body, (mat, jnp.float32(0.0)))
+                return mm[0, 0] + acc
+
+            mj = jnp.asarray(m, jnp.float32)
+            float(chained(1, vol, mj))
+            float(chained(ITERS, vol, mj))
+
+            def run_n(n):
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    float(chained(n, vol, mj))
+                    best = min(best, time.perf_counter() - t0)
+                return best
+
+            ms = (run_n(ITERS) - run_n(1)) / (ITERS - 1) * 1e3
+            times.append(round(ms, 3))
+            print(f"# oneshot rot {i}: fused {ms:.2f} ms "
+                  f"+ plan {plan_ms[-1]:.2f} ms", file=sys.stderr)
+        return times, plan_ms
+
     lin = sweep("linear", N_ROT)
     cub = sweep("filt_bspline", N_ROT_CUBIC)
+    osf, osp = oneshot_sweep(N_ROT)
 
     mean_lin = float(np.mean(lin))
     mean_cub = float(np.mean(cub)) if cub else None
+    oneshot = (float(np.mean(osf)) + float(np.mean(osp))) if osf else None
     print(json.dumps({
         "metric": (f"StaticVolume {size}^3 f32 linear, mean of {N_ROT} "
                    f"random 'sxyz' rotations (reference benchmark "
@@ -135,6 +210,12 @@ def main():
                               if mean_cub else None),
         "cubic_worst_ms": round(max(cub), 3) if cub else None,
         "cubic_per_rotation_ms": cub,
+        "oneshot_ms": round(oneshot, 3) if oneshot else None,
+        "oneshot_vs_cp_out": (round(BASELINE_CP_MS / oneshot, 2)
+                              if oneshot else None),
+        "oneshot_n": len(osf),
+        "oneshot_plan_ms": round(float(np.mean(osp)), 3) if osp else None,
+        "oneshot_fused_per_rotation_ms": osf,
     }))
 
 

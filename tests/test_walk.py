@@ -438,3 +438,63 @@ def test_topk_candidates_diverse_and_covering(volume):
     # degenerate shape: empty list, not None
     assert choose_walk_variant(np.eye(4, dtype=np.float32), (1, 1, 1),
                                "linear", "constant", topk=3) == []
+
+
+def test_oneshot_sampler_population_cap(volume, monkeypatch):
+    """oneshot_walk_sampler caps its fused-program population: beyond the
+    cap NEW (canonical, permutation) keys return None (the caller then
+    composes the cached eager stages), while already-admitted keys keep
+    their sampler — the sticky-sweep recompile guard in transforms.py."""
+    import voltools_tpu.kernels.pallas_walk as pw
+
+    shape = volume.shape
+    m1 = random_rotation(11, shape)
+    v1 = choose_walk_variant(m1, shape, "linear", "constant", sticky=None,
+                             quantize=False)
+    assert v1 is not None
+    # a second variant with a different output permutation = a new key
+    import dataclasses
+    perms = [p for p in __import__("itertools").permutations((0, 1, 2))
+             if p != v1.po]
+    v2 = dataclasses.replace(v1, po=perms[0],
+                             out_d=tuple(shape[j] for j in perms[0]))
+
+    monkeypatch.setattr(pw, "_ONESHOT_KEYS", set())
+    monkeypatch.setattr(pw, "_ONESHOT_CAP", 1)
+    s1 = pw.oneshot_walk_sampler(v1, 0.0, False)
+    assert s1 is not None and len(pw._ONESHOT_KEYS) == 1
+    # cap reached: a NEW key is refused ...
+    assert pw.oneshot_walk_sampler(v2, 0.0, False) is None
+    # ... but the admitted key still returns a sampler
+    assert pw.oneshot_walk_sampler(v1, 0.0, False) is not None
+    assert len(pw._ONESHOT_KEYS) == 1
+
+
+def test_fast_chooser_matches_numpy(monkeypatch):
+    """The jitted-on-CPU chooser core (_fast_search) and the numpy
+    reference must agree: same feasibility, and modeled cost within the
+    float32 tie band (the winner is cover-validated either way, so a tie
+    flip only trades model-equal configs)."""
+    import voltools_tpu.kernels.pallas_walk as pw
+
+    shapes = [(40, 48, 56), (25, 25, 25), (100, 100, 100)]
+    for i in range(9):
+        shape = shapes[i % len(shapes)]
+        m = random_rotation(100 + i, shape)
+        for interp, quant in (("linear", True), ("linear", False),
+                              ("filt_bspline", True)):
+            pw._FAST_BAD.clear()
+            va = choose_walk_variant(m, shape, interp, "constant",
+                                     sticky=None, quantize=quant)
+            # the fast path must have actually run, not blacklisted itself
+            assert not pw._FAST_BAD
+            monkeypatch.setattr(pw, "_FAST_CHOOSER", False)
+            vb = choose_walk_variant(m, shape, interp, "constant",
+                                     sticky=None, quantize=quant)
+            monkeypatch.setattr(pw, "_FAST_CHOOSER", True)
+            assert (va is None) == (vb is None), (shape, interp, quant)
+            if va is not None:
+                ca = pw._variant_cost(va)
+                cb = pw._variant_cost(vb)
+                assert abs(ca - cb) <= 0.05 * max(ca, cb), (
+                    shape, interp, quant, va, vb)

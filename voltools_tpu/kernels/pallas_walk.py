@@ -307,49 +307,57 @@ def _shape_tables(vol_shape, out_shape, xpad):
     return (d0, d1, d2, o0, o1, o2, dx_pad, npad, xww, nbww, whole_bytes)
 
 
-def _ladder_arr(x):
+def _ladder_arr(x, xp=np):
     """Vectorized slop ladder: round each element up to the next rung."""
-    idx = np.searchsorted(_LADDER_ARR, x)
-    return np.where(idx < len(_LADDER_ARR),
-                    _LADDER_ARR[np.minimum(idx, len(_LADDER_ARR) - 1)], x)
+    ladder = xp.asarray(_LADDER_ARR, dtype=x.dtype)
+    idx = xp.searchsorted(ladder, x)
+    return xp.where(idx < len(_LADDER_ARR),
+                    ladder[xp.minimum(idx, len(_LADDER_ARR) - 1)], x)
 
 
 _PS_IDX = np.array([ps for ps in _PERMS for _ in _PERMS])          # (36, 3)
 _PO_IDX = np.array([list(po) + [3] for _ in _PERMS for po in _PERMS])  # (36,4)
 
 
-def _adjusted_all(matrices):
+def _adjusted_all(matrices, xp=np):
     """(N,4,4) matrices -> (36, N, 3, 4) adjusted forms over (ps, po)."""
     A = matrices[:, _PS_IDX[:, :, None], _PO_IDX[:, None, :]]  # (N,36,3,4)
-    return np.ascontiguousarray(A.transpose(1, 0, 2, 3), np.float32)
+    A = xp.transpose(A, (1, 0, 2, 3)).astype(xp.float32)
+    return np.ascontiguousarray(A) if xp is np else A
 
 
-def _vec_geometry(A, order):
+def _vec_geometry(A, order, xp=np):
     """Vectorized :func:`_geometry` over leading axes and packings/kaxes.
 
     ``A``: (C, N, 3, 4) f32.  Returns per packing index p a dict of arrays:
     hz (C,N), slop_lo/hi (C,N), drift_ok (C,N), and per-kax (axis -1, order
     ``_KAXES``): kok (C,N,4), kappa (C,N,4), res (C,N,4,3), y_lo/y_hi
     (C,N,4) -- everything except e-dependent parts; e enters via callers.
+
+    ``xp`` selects the array module: numpy (the host reference path) or
+    jax.numpy (the same code traced into the jitted fast chooser).
     """
+    import contextlib
     t_lo, t_hi = (0, 1) if order == 1 else (-1, 2)
     drift = A[..., 2, 0] * np.float32(7.0)
-    drift_ok = np.abs(drift) <= _SLOP_LIMIT
-    slop_lo = np.where(drift < -1e-5, np.ceil(-drift + 1e-4), 0.0)
-    slop_hi = np.where(drift > 1e-5, np.ceil(drift + 1e-4), 0.0)
+    drift_ok = xp.abs(drift) <= _SLOP_LIMIT
+    slop_lo = xp.where(drift < -1e-5, xp.ceil(-drift + 1e-4), 0.0)
+    slop_hi = xp.where(drift > 1e-5, xp.ceil(drift + 1e-4), 0.0)
     denom = A[..., 0, :3]
     num = A[..., 1, :3]
-    with np.errstate(divide="ignore", invalid="ignore"):
+    ctx = (np.errstate(divide="ignore", invalid="ignore") if xp is np
+           else contextlib.nullcontext())
+    with ctx:
         kap_axes = num / denom
-    kok = np.concatenate([np.ones_like(denom[..., :1], bool),
-                          np.abs(denom) >= 1e-6], axis=-1)
-    kappa = np.concatenate([np.zeros_like(kap_axes[..., :1]), kap_axes],
+    kok = xp.concatenate([xp.ones_like(denom[..., :1], bool),
+                          xp.abs(denom) >= 1e-6], axis=-1)
+    kappa = xp.concatenate([xp.zeros_like(kap_axes[..., :1]), kap_axes],
                            axis=-1)
-    kappa = np.where(kok, kappa, 0.0)
+    kappa = xp.where(kok, kappa, 0.0)
     # res[..., k, i] = a1i - kappa_k * a0i
     res = num[..., None, :] - kappa[..., :, None] * denom[..., None, :]
-    return dict(slop_lo=slop_lo.astype(np.int64),
-                slop_hi=slop_hi.astype(np.int64), drift_ok=drift_ok,
+    return dict(slop_lo=slop_lo.astype(xp.int32),
+                slop_hi=slop_hi.astype(xp.int32), drift_ok=drift_ok,
                 kok=kok, kappa=kappa, res=res, t_lo=t_lo, t_hi=t_hi)
 
 
@@ -367,6 +375,264 @@ def _band_bounds(geo, A, vb, wb, order):
     y_lo = np.floor(lo).astype(np.int64) + geo["t_lo"] - 1
     y_hi = np.ceil(hi).astype(np.int64) + geo["t_hi"]
     return hz, y_lo, y_hi
+
+
+def _search_tensors(A, tables, order, mode, quantize, xp=np):
+    """The chooser's vectorized search over (36 perms x 4 kax x P packings
+    x M macros), parameterized by the array module ``xp``.
+
+    ONE implementation serves both paths: ``xp=np`` is the host reference
+    (float64 cost, exactly the historical chooser), and ``xp=jax.numpy``
+    traces the same code into the jitted CPU fast path
+    (:func:`_jit_search`) — same formulas, same masks, same cost model, no
+    duplicated logic.  The jitted path runs float32 (jax x64 stays off),
+    which can flip a near-exact cost tie or a knife-edge ceil by one rung;
+    the winner is always re-validated by :func:`walk_variant_covers`, so a
+    flip only trades between configs the model ranks equal within float32
+    resolution.
+    """
+    ntaps = 2 if order == 1 else 4
+    tapspan = ntaps - 1
+    xpad = 2 if (order == 3 and mode == "constant") else 0
+    (d0, d1, d2, o0, o1, o2, dx_pad, npad, xww, nbww,
+     whole_bytes) = tables
+    ff = np.float64 if xp is np else np.float32
+    d0i = d0.astype(np.int32)
+    d1i = d1.astype(np.int32)
+
+    geo = _vec_geometry(A, order, xp=xp)
+    aaE = xp.abs(A).max(axis=1)                       # (36, 3, 4) envelope
+    # parameter ladders trade per-matrix tightness for Mosaic binary
+    # sharing across a sweep; quantize=False (tight mode, e.g. benchmark
+    # steady state with one compile per matrix) keeps the exact values —
+    # hz and the slop slots directly scale the per-vreg vector work
+    slop_lo = geo["slop_lo"].max(1)                   # (36,)
+    slop_hi = geo["slop_hi"].max(1)
+    if quantize:
+        slop_lo = _ladder_arr(slop_lo, xp)
+        slop_hi = _ladder_arr(slop_hi, xp)
+    base_ok = geo["drift_ok"].all(1)                  # (36,)
+    kok = geo["kok"].all(1)                           # (36, 4)
+    kapM = xp.abs(geo["kappa"]).max(1)                # (36, 4)
+    resM = xp.abs(geo["res"]).max(1)                  # (36, 4, 3)
+    ndx0 = ntaps + slop_lo + slop_hi
+    if xpad:
+        # _preparer's mirror extension slices xpad planes off each x side;
+        # a raw x extent <= xpad (quasi-2D volume) can't supply them and
+        # would crash the reshape there — mask those permutations out
+        base_ok = base_ok & (d2 - 2 * xpad > xpad)
+
+    e_all = _E_ALL
+    E_all = _EM_ALL
+    guv = _GUV
+    t_lo, t_hi = geo["t_lo"], geo["t_hi"]
+
+    span_z = xp.abs(A[:, :, 0, :3]) @ e_all.T         # (36, N, P)
+    hz_r = xp.ceil(span_z).astype(np.int32) + tapspan + 2
+    wob = xp.abs(geo["kappa"]) * float(t_hi)          # (36, N, 4)
+    lo_b = (xp.minimum(geo["res"], 0.0) @ e_all.T
+            - wob[..., None])                         # (36, N, 4, P)
+    hi_b = xp.maximum(geo["res"], 0.0) @ e_all.T + wob[..., None]
+    ylo_r = xp.floor(lo_b).astype(np.int32) + t_lo - 1
+    yhi_r = xp.ceil(hi_b).astype(np.int32) + t_hi
+
+    hz_raw = hz_r.max(1)                              # (36, P)
+    if quantize:
+        y_lo = (ylo_r.min(1) // _YLO_STEP) * _YLO_STEP  # (36, 4, P)
+        hz = -_HZ_STEP * (-hz_raw // _HZ_STEP)        # (36, P)
+    else:
+        y_lo = ylo_r.min(1)
+        hz = hz_raw
+    y_hi = yhi_r.max(1)
+    hy = (y_hi - y_lo + 8) // 8 * 8                   # (36, 4, P)
+    ok0 = ((base_ok[:, None] & (hz <= _MAX_HZ))[:, None]
+           & kok[:, :, None] & (hy <= _MAX_HY))       # (36, 4, P)
+    hz_c = xp.minimum(hz, d0i[:, None])               # (36, P)
+    ycand = (hy + 7) // 8
+
+    span0 = xp.einsum("cj,pmj->cpm", aaE[:, 0, :3], E_all)
+    w0 = (xp.ceil(span0).astype(np.int32) + tapspan + 3
+          + (hz - hz_raw)[:, :, None])                # (36, P, M)
+    w0 = xp.maximum(w0, hz[:, :, None])
+    if quantize:
+        w0 = -_W_STEP * (-w0 // _W_STEP)
+    w0 = xp.minimum(w0, d0i[:, None, None])
+    w1 = (xp.ceil(xp.einsum("ckj,pmj->ckpm", resM, E_all)
+                  + kapM[:, :, None, None] * (w0[:, None] + 1.0))
+          .astype(np.int32) + 3 + hy[..., None])      # (36, 4, P, M)
+    # w1 is the window's second-minor dim: keep 8-sublane alignment even in
+    # tight mode (dynamic-start band slices assume it)
+    w1 = xp.minimum(-8 * (-w1 // 8), d1i[:, None, None, None])
+    span_x = (xp.einsum("cj,pmj->cpm", aaE[:, 2, :3], E_all)
+              + tapspan + (slop_lo + slop_hi)[:, None, None] + 4)
+    dyn = (span_x <= 128 - 32 - 2) & (dx_pad > 128)[:, None, None]
+    xg = xp.where(dyn, 32, 128).astype(np.int32)      # (36, P, M)
+    xw = xp.where(dyn, 128,
+                  dx_pad[:, None, None]).astype(np.int32)
+    nbw = xw // 128
+    # float window-byte check: exact below 2^24 (the budget region), and
+    # overflow-safe for volumes whose int32 byte product would wrap
+    win_bytes = ((_PIPELINE_DEPTH * 4.0) * w0[:, None].astype(ff)
+                 * w1.astype(ff) * xw[:, None].astype(ff))
+    ok = ok0[..., None] & (hy[..., None] <= w1) & (win_bytes <= _VMEM_BUDGET)
+
+    # whole-resident mode: the full prepared volume fits one VMEM slot --
+    # DMA it once at grid step 0, no per-macro windows, no pipelining.
+    # Small volumes otherwise pay a >10x window-redundancy DMA tax.
+    # (npad / xww / nbww / whole_bytes come from the shape-table cache; the
+    # byte comparison is matrix-independent and stays host-side numpy.)
+    whole_fits = ((whole_bytes <= _VMEM_BUDGET)[:, None, None]
+                  & (hy <= d1i[:, None, None]))        # (36,4,P)
+    ok_w = ok0 & whole_fits
+
+    # measurement-calibrated cost model (exp_r3_walkprofile +
+    # exp_r3_measure, 250^3): per-vreg-plane compute ~= 2.16 * ycand *
+    # ndx^1.5 ns.  The lane gathers dominate (sublane takes/fma are
+    # ~free), so cubic's extra taps cost only ~11% (measured 2.4 vs
+    # 2.16 ns units), not 2x.  The window DMA pipelines behind the
+    # compute, so it only costs where it exceeds the overlap headroom.
+    nd = ndx0[:, None, None, None].astype(ff)
+    tapf = 1.0 if ntaps == 2 else 1.11
+    # the 5.5*ycand floor is the per-plane work that does NOT scale
+    # with nbw (dynamic row slices, weight folds) -- calibrated at
+    # nbw=1 from exp_r3_wholecal (50^3/100^3 hardware sweep)
+    per_plane = (2.16 * ycand[..., None].astype(ff) * nd ** 1.5
+                 * tapf * nbw[:, None].astype(ff)
+                 + 5.5 * ycand[..., None].astype(ff))        # ns/vreg/plane
+    per_vreg = (hz_c[:, None, :, None].astype(ff) * per_plane
+                + 30.0)                                   # ns/vreg
+    dma = ((w0[:, None].astype(ff) * w1.astype(ff)
+            * xw[:, None].astype(ff) * 4.0) / guv / 750.0
+           + 300.0 * nbw[:, None].astype(ff) / guv)       # ns/vreg
+    tot = (xp.maximum(per_vreg, dma)
+           + 0.25 * xp.minimum(per_vreg, dma))
+    cost = xp.where(ok, tot * npad[:, None], np.inf)
+
+    # whole-mode cost: same per-vreg compute with nbw=nbww, plus the
+    # one-time volume DMA (no overlap term: it's serial at step 0)
+    per_plane_w = (2.16 * ycand[..., None].astype(ff) * nd ** 1.5 * tapf
+                   * nbww[:, None, None, None].astype(ff)
+                   + 5.5 * ycand[..., None].astype(ff))
+    per_vreg_w = hz_c[:, None, :, None].astype(ff) * per_plane_w + 30.0
+    cost_w = xp.where(
+        ok_w[..., None],
+        per_vreg_w * npad[:, None]
+        + (whole_bytes / 750.0
+           + 300.0 * nbww)[:, None, None, None], np.inf)
+
+    return dict(cost=cost, cost_w=cost_w, hz=hz, hz_raw=hz_raw, hz_c=hz_c,
+                hy=hy, y_lo=y_lo, slop_lo=slop_lo, slop_hi=slop_hi,
+                w0=w0, w1=w1, xg=xg, xw=xw, nbw=nbw, ok0=ok0,
+                resM=resM, kapM=kapM, per_vreg=per_vreg)
+
+
+_FAST_CHOOSER = True   # jitted CPU chooser core (numpy fallback on any
+                       # backend hiccup; tests flip this to compare paths)
+_FAST_N_MAX = 64       # envelope sizes above this use the numpy path (the
+                       # jit caches one executable per batch size)
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_search(vol_shape, out_shape, n, order, mode, quantize):
+    """CPU-jitted chooser core for one (shape, order, mode, quantize) key:
+    traces :func:`_search_tensors` once, then each fresh matrix costs one
+    dispatch + one 12-scalar fetch.  Returns (callable, cpu_device), or
+    None when no CPU backend is available."""
+    try:
+        import jax
+        cpu = jax.devices("cpu")[0]
+    except Exception:   # pragma: no cover - exotic backends
+        return None
+    import jax.numpy as jnp
+
+    xpad = 2 if (order == 3 and mode == "constant") else 0
+    tables = _shape_tables(vol_shape, out_shape, xpad)
+    # jnp copies: the winner decode indexes these with traced scalars
+    d0i = jnp.asarray(tables[0].astype(np.int32))
+    d1i = jnp.asarray(tables[1].astype(np.int32))
+    xwwi = jnp.asarray(tables[8].astype(np.int32))
+    P, M = len(_PACKINGS), len(_MACROS)
+    csize = 36 * 4 * P * M
+
+    def core(mats):
+        A = _adjusted_all(mats, xp=jnp)
+        t = _search_tensors(A, tables, order, mode, quantize, xp=jnp)
+        flat = jnp.concatenate([t["cost"].ravel(), t["cost_w"].ravel()])
+        fi = jnp.argmin(flat)
+        val = flat[fi]
+        kind = (fi >= csize).astype(jnp.int32)
+        idx = fi - kind * csize
+        mi = idx % M
+        r = idx // M
+        pi = r % P
+        r = r // P
+        ki = r % 4
+        pq = r // 4
+        whole = kind == 1
+        w0 = jnp.where(whole, d0i[pq], t["w0"][pq, pi, mi])
+        w1 = jnp.where(whole, d1i[pq], t["w1"][pq, ki, pi, mi])
+        xg = jnp.where(whole, 128, t["xg"][pq, pi, mi])
+        xw = jnp.where(whole, xwwi[pq], t["xw"][pq, pi, mi])
+        f = jnp.float32
+        return jnp.stack([
+            fi.astype(f), val.astype(f), kind.astype(f),
+            t["hz_c"][pq, pi].astype(f), t["hy"][pq, ki, pi].astype(f),
+            t["y_lo"][pq, ki, pi].astype(f),
+            t["slop_lo"][pq].astype(f), t["slop_hi"][pq].astype(f),
+            w0.astype(f), w1.astype(f), xg.astype(f), xw.astype(f)])
+
+    return jax.jit(core), cpu
+
+
+_FAST_BAD: set = set()   # (shape, ...) keys whose jitted core failed once —
+                         # skip them forever instead of paying a failed
+                         # trace (~60 ms) on every later call
+
+
+def _fast_search(matrices, vol_shape, out_shape, order, mode, quantize):
+    """(best_variant_or_None, best_cost) via the jitted CPU core, or None
+    when the fast path is unavailable (caller falls back to numpy)."""
+    n = int(matrices.shape[0])
+    if n > _FAST_N_MAX:
+        return None
+    fkey = (vol_shape, out_shape, n, order, mode, quantize)
+    if fkey in _FAST_BAD:
+        return None
+    try:
+        js = _jit_search(*fkey)
+        if js is None:
+            return None
+        core, cpu = js
+        import jax
+        packed = np.asarray(core(jax.device_put(
+            np.ascontiguousarray(matrices, np.float32), cpu)))
+    except Exception:   # pragma: no cover - any backend hiccup
+        _FAST_BAD.add(fkey)
+        return None
+    val = float(packed[1])
+    if not np.isfinite(val):
+        return (None, np.inf)
+    fi = int(packed[0])
+    kind = int(packed[2])
+    P, M = len(_PACKINGS), len(_MACROS)
+    idx = fi - kind * (36 * 4 * P * M)
+    pq, ki, pi, mi = np.unravel_index(idx, (36, 4, P, M))
+    xpad = 2 if (order == 3 and mode == "constant") else 0
+    tables = _shape_tables(vol_shape, out_shape, xpad)
+    d0, d1, d2, o0, o1, o2 = tables[:6]
+    (hz_c, hy, y_lo, slop_lo, slop_hi, w0, w1, xg,
+     xw) = (int(round(float(x))) for x in packed[3:12])
+    v = WalkVariant(ps=_PERMS[pq // 6], po=_PERMS[pq % 6],
+                    vb=_PACKINGS[pi][0], wb=_PACKINGS[pi][1],
+                    gu=_MACROS[mi][0], gv=_MACROS[mi][1],
+                    w0=w0, w1=w1, hz=hz_c, hy=hy, kax=_KAXES[ki],
+                    d=(int(d0[pq]), int(d1[pq]), int(d2[pq])),
+                    xg=xg, xw=xw,
+                    out_d=(int(o0[pq]), int(o1[pq]), int(o2[pq])),
+                    order=order, mode=mode, slop_lo=slop_lo,
+                    slop_hi=slop_hi, y_lo=y_lo, xpad=xpad,
+                    whole=bool(kind == 1))
+    return (v, val)
 
 
 def choose_walk_variant(matrix, vol_shape, interpolation: str,
@@ -402,131 +668,40 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
     ntaps = 2 if order == 1 else 4
     tapspan = ntaps - 1
 
-    A = _adjusted_all(matrices)                       # (36, N, 3, 4)
-    geo = _vec_geometry(A, order)
-    aaE = np.abs(A).max(axis=1)                       # (36, 3, 4) envelope
-    # parameter ladders trade per-matrix tightness for Mosaic binary
-    # sharing across a sweep; quantize=False (tight mode, e.g. benchmark
-    # steady state with one compile per matrix) keeps the exact values —
-    # hz and the slop slots directly scale the per-vreg vector work
-    slop_lo = geo["slop_lo"].max(1)                   # (36,)
-    slop_hi = geo["slop_hi"].max(1)
-    if quantize:
-        slop_lo = _ladder_arr(slop_lo)
-        slop_hi = _ladder_arr(slop_hi)
-    base_ok = geo["drift_ok"].all(1)                  # (36,)
-    kok = geo["kok"].all(1)                           # (36, 4)
-    kapM = np.abs(geo["kappa"]).max(1)                # (36, 4)
-    resM = np.abs(geo["res"]).max(1)                  # (36, 4, 3)
-
     # permutation-dependent dims (matrix-independent: cached per shape)
     xpad = 2 if (order == 3 and mode == "constant") else 0
+    tables = _shape_tables(tuple(vol_shape), tuple(out_shape), xpad)
     (d0, d1, d2, o0, o1, o2, dx_pad, npad, xww, nbww,
-     whole_bytes) = _shape_tables(tuple(vol_shape), tuple(out_shape), xpad)
-    ndx0 = ntaps + slop_lo + slop_hi
-    if xpad:
-        # _preparer's mirror extension slices xpad planes off each x side;
-        # a raw x extent <= xpad (quasi-2D volume) can't supply them and
-        # would crash the reshape there — mask those permutations out
-        base_ok = base_ok & (d2 - 2 * xpad > xpad)
+     whole_bytes) = tables
 
-    # fully-vectorized search over C=36 perms x K=4 kax x P packings x M
-    # macros (one pass of medium-sized numpy arrays, ~1 ms host time)
-    e_all = _E_ALL
-    E_all = _EM_ALL
+    if _FAST_CHOOSER and topk <= 1 and not _CHOOSER_STRIPS:
+        # jitted-on-CPU fast path: one dispatch + a 12-scalar fetch instead
+        # of ~40 host numpy passes (measured 2.8 -> ~1 ms at 250^3, the
+        # one-shot latency lever).  The winner flows through the same
+        # cover re-validation and known-variant fit as the numpy path, so
+        # a float32 cost tie-flip only trades model-equal configs.
+        fast = _fast_search(matrices, tuple(vol_shape), tuple(out_shape),
+                            order, mode, quantize)
+        if fast is not None:
+            best, best_cost = fast
+            return _choose_finish(best, best_cost, matrix, matrices,
+                                  vol_shape, out_shape, interpolation,
+                                  mode, known, sticky, quantize, topk)
+
+    A = _adjusted_all(matrices)                       # (36, N, 3, 4)
+    t = _search_tensors(A, tables, order, mode, quantize)
+    cost, cost_w = t["cost"], t["cost_w"]
+    hz_c, hy, y_lo = t["hz_c"], t["hy"], t["y_lo"]
+    slop_lo, slop_hi = t["slop_lo"], t["slop_hi"]
+    w0, w1, xg, xw, nbw = t["w0"], t["w1"], t["xg"], t["xw"], t["nbw"]
+    ok0, per_vreg = t["ok0"], t["per_vreg"]
+    resM, kapM = t["resM"], t["kapM"]
     guv = _GUV
-    t_lo, t_hi = geo["t_lo"], geo["t_hi"]
-
-    span_z = np.abs(A[:, :, 0, :3]) @ e_all.T         # (36, N, P)
-    hz_r = np.ceil(span_z).astype(np.int64) + tapspan + 2
-    wob = np.abs(geo["kappa"]) * float(t_hi)          # (36, N, 4)
-    lo_b = (np.minimum(geo["res"], 0.0) @ e_all.T
-            - wob[..., None])                         # (36, N, 4, P)
-    hi_b = np.maximum(geo["res"], 0.0) @ e_all.T + wob[..., None]
-    ylo_r = np.floor(lo_b).astype(np.int64) + t_lo - 1
-    yhi_r = np.ceil(hi_b).astype(np.int64) + t_hi
-
-    hz_raw = hz_r.max(1)                              # (36, P)
-    if quantize:
-        y_lo = (ylo_r.min(1) // _YLO_STEP) * _YLO_STEP  # (36, 4, P)
-        hz = -_HZ_STEP * (-hz_raw // _HZ_STEP)        # (36, P)
-    else:
-        y_lo = ylo_r.min(1)
-        hz = hz_raw
-    y_hi = yhi_r.max(1)
-    hy = (y_hi - y_lo + 8) // 8 * 8                   # (36, 4, P)
-    ok0 = ((base_ok[:, None] & (hz <= _MAX_HZ))[:, None]
-           & kok[:, :, None] & (hy <= _MAX_HY))       # (36, 4, P)
-    hz_c = np.minimum(hz, d0[:, None])                # (36, P)
-    ycand = (hy + 7) // 8
-
-    span0 = np.einsum("cj,pmj->cpm", aaE[:, 0, :3], E_all)
-    w0 = (np.ceil(span0).astype(np.int64) + tapspan + 3
-          + (hz - hz_raw)[:, :, None])                # (36, P, M)
-    w0 = np.maximum(w0, hz[:, :, None])
-    if quantize:
-        w0 = -_W_STEP * (-w0 // _W_STEP)
-    w0 = np.minimum(w0, d0[:, None, None])
-    w1 = (np.ceil(np.einsum("ckj,pmj->ckpm", resM, E_all)
-                  + kapM[:, :, None, None] * (w0[:, None] + 1.0))
-          .astype(np.int64) + 3 + hy[..., None])      # (36, 4, P, M)
-    # w1 is the window's second-minor dim: keep 8-sublane alignment even in
-    # tight mode (dynamic-start band slices assume it)
-    w1 = np.minimum(-8 * (-w1 // 8), d1[:, None, None, None])
-    span_x = (np.einsum("cj,pmj->cpm", aaE[:, 2, :3], E_all)
-              + tapspan + (slop_lo + slop_hi)[:, None, None] + 4)
-    dyn = (span_x <= 128 - 32 - 2) & (dx_pad > 128)[:, None, None]
-    xg = np.where(dyn, 32, 128)                       # (36, P, M)
-    xw = np.where(dyn, 128, dx_pad[:, None, None])
-    nbw = xw // 128
-    win_bytes = _PIPELINE_DEPTH * w0[:, None] * w1 * xw[:, None] * 4
-    ok = ok0[..., None] & (hy[..., None] <= w1) & (win_bytes <= _VMEM_BUDGET)
-
-    # whole-resident mode: the full prepared volume fits one VMEM slot --
-    # DMA it once at grid step 0, no per-macro windows, no pipelining.
-    # Small volumes otherwise pay a >10x window-redundancy DMA tax.
-    # (npad / xww / nbww / whole_bytes come from the shape-table cache.)
-    whole_fits = ((whole_bytes <= _VMEM_BUDGET)[:, None, None]
-                  & (hy <= d1[:, None, None]))         # (36,4,P)
-    ok_w = ok0 & whole_fits
+    E_all = _EM_ALL
 
     best = None
     best_cost = np.inf
-    if ok.any() or ok_w.any():
-        # measurement-calibrated cost model (exp_r3_walkprofile +
-        # exp_r3_measure, 250^3): per-vreg-plane compute ~= 2.16 * ycand *
-        # ndx^1.5 ns.  The lane gathers dominate (sublane takes/fma are
-        # ~free), so cubic's extra taps cost only ~11% (measured 2.4 vs
-        # 2.16 ns units), not 2x.  The window DMA pipelines behind the
-        # compute, so it only costs where it exceeds the overlap headroom.
-        nd = ndx0[:, None, None, None].astype(np.float64)
-        tapf = 1.0 if ntaps == 2 else 1.11
-        # the 5.5*ycand floor is the per-plane work that does NOT scale
-        # with nbw (dynamic row slices, weight folds) -- calibrated at
-        # nbw=1 from exp_r3_wholecal (50^3/100^3 hardware sweep)
-        per_plane = (2.16 * ycand[..., None] * nd ** 1.5
-                     * tapf * nbw[:, None]
-                     + 5.5 * ycand[..., None])                # ns/vreg/plane
-        per_vreg = (hz_c[:, None, :, None] * per_plane
-                    + 30.0)                                   # ns/vreg
-        dma = ((w0[:, None] * w1 * xw[:, None] * 4.0) / guv / 750.0
-               + 300.0 * nbw[:, None] / guv)                  # ns/vreg
-        tot = (np.maximum(per_vreg, dma)
-               + 0.25 * np.minimum(per_vreg, dma))
-        cost = np.where(ok, tot * npad[:, None], np.inf)
-
-        # whole-mode cost: same per-vreg compute with nbw=nbww, plus the
-        # one-time volume DMA (no overlap term: it's serial at step 0)
-        per_plane_w = (2.16 * ycand[..., None] * nd ** 1.5 * tapf
-                       * nbww[:, None, None, None].astype(np.float64)
-                       + 5.5 * ycand[..., None])
-        per_vreg_w = hz_c[:, None, :, None] * per_plane_w + 30.0
-        cost_w = np.where(
-            ok_w[..., None],
-            per_vreg_w * npad[:, None]
-            + (whole_bytes / 750.0
-               + 300.0 * nbww)[:, None, None, None], np.inf)
-
+    if np.isfinite(cost).any() or np.isfinite(cost_w).any():
         # strip-window mode: per chunk of cs planes, DMA only the tile's
         # band rows at that chunk (band-following).  Measured slower than
         # classic windows on this hardware (exp_r3_strips) so skipped by
@@ -623,6 +798,16 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
         best = _build(flat_i, kind)
     elif topk > 1:
         return []
+    return _choose_finish(best, best_cost, matrix, matrices, vol_shape,
+                          out_shape, interpolation, mode, known, sticky,
+                          quantize, topk)
+
+
+def _choose_finish(best, best_cost, matrix, matrices, vol_shape, out_shape,
+                   interpolation, mode, known, sticky, quantize, topk):
+    """Shared chooser tail (fast and numpy paths): scalar-reference cover
+    re-validation with one slot of headroom, known-variant sticky fit, and
+    the unquantized retry when the ladders round past a hard limit."""
     if best is not None and not walk_variant_covers(
             best, matrices, vol_shape, interpolation, mode,
             out_shape=out_shape):
@@ -745,13 +930,19 @@ def fit_walk_variant(matrix, vol_shape, interpolation: str, mode: str,
     The Mosaic binary depends only on a variant's canonical form, so fitting
     a known canonical under fresh permutations costs no compile at all."""
     import dataclasses
-    best = None
-    best_cost = None
     order = 1 if interpolation == "linear" else 3
     ntaps = 2 if order == 1 else 4
     tapspan = ntaps - 1
     if out_shape is None:
         out_shape = vol_shape
+    # sorted by modeled cost, the FIRST covering known is the answer —
+    # sweeps steady-state with ~10 canonicals pay band bounds only for the
+    # knowns cheaper than the winner (measured 7 -> ~1-2 ms at 250^3)
+    ranked = sorted(((K, _variant_cost(K)) for K in known
+                     if K.order == order and K.mode == mode),
+                    key=lambda kc: kc[1])
+    if not ranked:
+        return None, None
     matrices = np.asarray(matrix, dtype=np.float64)
     if matrices.ndim == 2:
         matrices = matrices[None]
@@ -770,12 +961,7 @@ def fit_walk_variant(matrix, vol_shape, interpolation: str, mode: str,
                       for _ in _PERMS for po in _PERMS])
     band_cache = {}
 
-    for K in known:
-        if K.order != order or K.mode != mode:
-            continue
-        cost = _variant_cost(K)
-        if best_cost is not None and cost >= best_cost:
-            continue
+    for K, cost in ranked:
         key = (K.vb, K.wb)
         if key not in band_cache:
             band_cache[key] = _band_bounds(geo, A, K.vb, K.wb, order)
@@ -813,9 +999,8 @@ def fit_walk_variant(matrix, vol_shape, interpolation: str, mode: str,
             # can flip a vectorized bound at an exact boundary)
             if walk_variant_covers(cand, matrices, vol_shape, interpolation,
                                    mode, out_shape=out_shape):
-                best, best_cost = cand, cost
-                break
-    return best, best_cost
+                return cand, cost
+    return None, None
 
 
 
