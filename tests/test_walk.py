@@ -477,6 +477,9 @@ def test_fast_chooser_matches_numpy(monkeypatch):
     flip only trades model-equal configs)."""
     import voltools_tpu.kernels.pallas_walk as pw
 
+    # compile the chooser core inline (the production default warms it in
+    # a background thread and serves numpy until ready)
+    monkeypatch.setattr(pw, "_FAST_SYNC", True)
     shapes = [(40, 48, 56), (25, 25, 25), (100, 100, 100)]
     for i in range(9):
         shape = shapes[i % len(shapes)]

@@ -584,9 +584,57 @@ def _jit_search(vol_shape, out_shape, n, order, mode, quantize):
     return jax.jit(core), cpu
 
 
-_FAST_BAD: set = set()   # (shape, ...) keys whose jitted core failed once —
-                         # skip them forever instead of paying a failed
-                         # trace (~60 ms) on every later call
+_FAST_BAD: set = set()     # keys whose jitted core failed once — skip them
+                           # forever instead of paying a failed trace
+                           # (~60 ms) on every later call
+_FAST_READY: dict = {}     # fkey -> (core, cpu) with the executable WARM
+_FAST_PENDING: set = set()
+_FAST_LOCK = threading.Lock()
+_FAST_SYNC = False         # tests: compile inline instead of in background
+_FAST_THREADS: list = []   # live warm threads, joined at interpreter exit
+
+
+def _fast_join(timeout: float = 90.0):
+    """Join outstanding warm threads (atexit): tearing a process down in
+    the middle of a compile can wedge remote-tunnel platforms for minutes
+    (and aborts noisily); a bounded join lets in-flight warms finish."""
+    deadline = None
+    for th in list(_FAST_THREADS):
+        if th.is_alive():
+            import time as _time
+            if deadline is None:
+                deadline = _time.monotonic() + timeout
+            th.join(max(0.0, deadline - _time.monotonic()))
+    _FAST_THREADS.clear()
+
+
+import atexit as _atexit
+
+_atexit.register(_fast_join)
+
+
+def _fast_warm(fkey):
+    """Background warm-up: trace+compile the chooser core for ``fkey`` and
+    publish it.  Off the critical path because some platform plugins (the
+    axon remote-TPU tunnel) inflate a ~1 s local XLA:CPU compile to ~45 s;
+    numpy serves every plan until the executable is ready."""
+    try:
+        js = _jit_search(*fkey)
+        if js is None:
+            raise RuntimeError("no CPU backend")
+        core, cpu = js
+        import jax
+        dummy = np.zeros((fkey[2], 4, 4), np.float32)
+        dummy[:] = np.eye(4, dtype=np.float32)
+        np.asarray(core(jax.device_put(dummy, cpu)))
+        with _FAST_LOCK:
+            _FAST_READY[fkey] = (core, cpu)
+    except Exception:   # pragma: no cover - any backend hiccup
+        with _FAST_LOCK:
+            _FAST_BAD.add(fkey)
+    finally:
+        with _FAST_LOCK:
+            _FAST_PENDING.discard(fkey)
 
 
 def _fast_search(matrices, vol_shape, out_shape, order, mode, quantize):
@@ -596,18 +644,32 @@ def _fast_search(matrices, vol_shape, out_shape, order, mode, quantize):
     if n > _FAST_N_MAX:
         return None
     fkey = (vol_shape, out_shape, n, order, mode, quantize)
-    if fkey in _FAST_BAD:
-        return None
-    try:
-        js = _jit_search(*fkey)
-        if js is None:
+    with _FAST_LOCK:
+        if fkey in _FAST_BAD:
             return None
-        core, cpu = js
+        entry = _FAST_READY.get(fkey)
+        if entry is None and fkey not in _FAST_PENDING:
+            _FAST_PENDING.add(fkey)
+            if not _FAST_SYNC:
+                th = threading.Thread(target=_fast_warm, args=(fkey,),
+                                      daemon=True)
+                _FAST_THREADS.append(th)
+                th.start()
+    if entry is None:
+        if _FAST_SYNC:
+            _fast_warm(fkey)
+            with _FAST_LOCK:
+                entry = _FAST_READY.get(fkey)
+        if entry is None:
+            return None
+    core, cpu = entry
+    try:
         import jax
         packed = np.asarray(core(jax.device_put(
             np.ascontiguousarray(matrices, np.float32), cpu)))
     except Exception:   # pragma: no cover - any backend hiccup
-        _FAST_BAD.add(fkey)
+        with _FAST_LOCK:
+            _FAST_BAD.add(fkey)
         return None
     val = float(packed[1])
     if not np.isfinite(val):
