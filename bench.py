@@ -125,7 +125,8 @@ def main():
             if ms is not None:
                 times.append(round(ms, 3))
             print(f"# {interpolation} rot {i} {np.round(ang, 1).tolist()}: "
-                  f"{ms:.2f} ms ({kind})", file=sys.stderr)
+                  f"{'skipped' if ms is None else f'{ms:.2f} ms'} ({kind})",
+                  file=sys.stderr)
         return times
 
     def oneshot_sweep(n_rot):

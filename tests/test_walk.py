@@ -501,3 +501,29 @@ def test_fast_chooser_matches_numpy(monkeypatch):
                 cb = pw._variant_cost(vb)
                 assert abs(ca - cb) <= 0.05 * max(ca, cb), (
                     shape, interp, quant, va, vb)
+
+
+def test_chooser_extreme_matrix_no_overflow():
+    """Extreme kappa/zoom matrices must not wrap the int32 band/window
+    bounds (a wrapped negative bound would un-mask bogus configs and the
+    cast emits RuntimeWarning under warnings-as-errors).  The chooser must
+    answer cleanly — either a cover-validated variant or None."""
+    import warnings
+    import voltools_tpu.kernels.pallas_walk as pw
+
+    shape = (64, 64, 64)
+    # near-singular row-0 entry (just past the 1e-6 kok gate) against a
+    # large row-1 entry drives kappa ~ 1e7 and kapM*(w0+1) past 2^31
+    m = np.array([[1e-6, 4.0, 0.0, 0.0],
+                  [10.0, 0.0, 0.0, 0.0],
+                  [0.0, 0.0, 1.0, 0.0],
+                  [0.0, 0.0, 0.0, 1.0]], np.float64)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        for quant in (True, False):
+            v = choose_walk_variant(m, shape, "linear", "constant",
+                                    sticky=None, quantize=quant)
+            if v is not None:
+                assert walk_variant_covers(v, m, shape, "linear",
+                                           "constant")
+                assert v.w1 > 0 and v.hy > 0

@@ -356,8 +356,10 @@ def _vec_geometry(A, order, xp=np):
     kappa = xp.where(kok, kappa, 0.0)
     # res[..., k, i] = a1i - kappa_k * a0i
     res = num[..., None, :] - kappa[..., :, None] * denom[..., None, :]
-    return dict(slop_lo=slop_lo.astype(xp.int32),
-                slop_hi=slop_hi.astype(xp.int32), drift_ok=drift_ok,
+    cap = float(1 << 29)   # see _I32_CAP: masked out downstream anyway
+    return dict(slop_lo=xp.clip(slop_lo, 0.0, cap).astype(xp.int32),
+                slop_hi=xp.clip(slop_hi, 0.0, cap).astype(xp.int32),
+                drift_ok=drift_ok,
                 kok=kok, kappa=kappa, res=res, t_lo=t_lo, t_hi=t_hi)
 
 
@@ -375,6 +377,23 @@ def _band_bounds(geo, A, vb, wb, order):
     y_lo = np.floor(lo).astype(np.int64) + geo["t_lo"] - 1
     y_hi = np.ceil(hi).astype(np.int64) + geo["t_hi"]
     return hz, y_lo, y_hi
+
+
+_I32_CAP = 1 << 29   # clamp float bounds before int32 casts: extreme
+                     # kappa/zoom matrices can push a band/window bound past
+                     # 2^31, which would wrap negative and un-mask bogus
+                     # configs (or crash warnings-as-errors callers with a
+                     # cast RuntimeWarning).  2^29 keeps every downstream
+                     # difference/sum inside int32 while staying far above
+                     # the hard limits that mask such configs out anyway.
+
+
+def _ceil_i32(x, xp):
+    return xp.clip(xp.ceil(x), -_I32_CAP, _I32_CAP).astype(np.int32)
+
+
+def _floor_i32(x, xp):
+    return xp.clip(xp.floor(x), -_I32_CAP, _I32_CAP).astype(np.int32)
 
 
 def _search_tensors(A, tables, order, mode, quantize, xp=np):
@@ -428,13 +447,13 @@ def _search_tensors(A, tables, order, mode, quantize, xp=np):
     t_lo, t_hi = geo["t_lo"], geo["t_hi"]
 
     span_z = xp.abs(A[:, :, 0, :3]) @ e_all.T         # (36, N, P)
-    hz_r = xp.ceil(span_z).astype(np.int32) + tapspan + 2
+    hz_r = _ceil_i32(span_z, xp) + tapspan + 2
     wob = xp.abs(geo["kappa"]) * float(t_hi)          # (36, N, 4)
     lo_b = (xp.minimum(geo["res"], 0.0) @ e_all.T
             - wob[..., None])                         # (36, N, 4, P)
     hi_b = xp.maximum(geo["res"], 0.0) @ e_all.T + wob[..., None]
-    ylo_r = xp.floor(lo_b).astype(np.int32) + t_lo - 1
-    yhi_r = xp.ceil(hi_b).astype(np.int32) + t_hi
+    ylo_r = _floor_i32(lo_b, xp) + t_lo - 1
+    yhi_r = _ceil_i32(hi_b, xp) + t_hi
 
     hz_raw = hz_r.max(1)                              # (36, P)
     if quantize:
@@ -451,15 +470,15 @@ def _search_tensors(A, tables, order, mode, quantize, xp=np):
     ycand = (hy + 7) // 8
 
     span0 = xp.einsum("cj,pmj->cpm", aaE[:, 0, :3], E_all)
-    w0 = (xp.ceil(span0).astype(np.int32) + tapspan + 3
+    w0 = (_ceil_i32(span0, xp) + tapspan + 3
           + (hz - hz_raw)[:, :, None])                # (36, P, M)
     w0 = xp.maximum(w0, hz[:, :, None])
     if quantize:
         w0 = -_W_STEP * (-w0 // _W_STEP)
     w0 = xp.minimum(w0, d0i[:, None, None])
-    w1 = (xp.ceil(xp.einsum("ckj,pmj->ckpm", resM, E_all)
-                  + kapM[:, :, None, None] * (w0[:, None] + 1.0))
-          .astype(np.int32) + 3 + hy[..., None])      # (36, 4, P, M)
+    w1 = (_ceil_i32(xp.einsum("ckj,pmj->ckpm", resM, E_all)
+                    + kapM[:, :, None, None] * (w0[:, None] + 1.0), xp)
+          + 3 + hy[..., None])                        # (36, 4, P, M)
     # w1 is the window's second-minor dim: keep 8-sublane alignment even in
     # tight mode (dynamic-start band slices assume it)
     w1 = xp.minimum(-8 * (-w1 // 8), d1i[:, None, None, None])
@@ -524,6 +543,28 @@ def _search_tensors(A, tables, order, mode, quantize, xp=np):
                 hy=hy, y_lo=y_lo, slop_lo=slop_lo, slop_hi=slop_hi,
                 w0=w0, w1=w1, xg=xg, xw=xw, nbw=nbw, ok0=ok0,
                 resM=resM, kapM=kapM, per_vreg=per_vreg)
+
+
+def _variant_from_fields(pq, ki, pi, mi, kind, tables, order, mode,
+                         hz, hy, y_lo, slop_lo, slop_hi, w0, w1, xg, xw):
+    """WalkVariant construction shared by the fast-path decode and the
+    numpy ``_build`` (kind 0 = classic window, 1 = whole-resident) — one
+    source of truth for the winner-index -> variant-field mapping."""
+    d0, d1, d2, o0, o1, o2 = tables[:6]
+    xww = tables[8]
+    xpad = 2 if (order == 3 and mode == "constant") else 0
+    common = dict(ps=_PERMS[pq // 6], po=_PERMS[pq % 6],
+                  vb=_PACKINGS[pi][0], wb=_PACKINGS[pi][1],
+                  gu=_MACROS[mi][0], gv=_MACROS[mi][1],
+                  hz=hz, hy=hy, kax=_KAXES[ki],
+                  d=(int(d0[pq]), int(d1[pq]), int(d2[pq])),
+                  out_d=(int(o0[pq]), int(o1[pq]), int(o2[pq])),
+                  order=order, mode=mode, slop_lo=slop_lo,
+                  slop_hi=slop_hi, y_lo=y_lo, xpad=xpad)
+    if kind == 1:
+        return WalkVariant(w0=int(d0[pq]), w1=int(d1[pq]), xg=128,
+                           xw=int(xww[pq]), whole=True, **common)
+    return WalkVariant(w0=w0, w1=w1, xg=xg, xw=xw, **common)
 
 
 _FAST_CHOOSER = True   # jitted CPU chooser core (numpy fallback on any
@@ -681,19 +722,11 @@ def _fast_search(matrices, vol_shape, out_shape, order, mode, quantize):
     pq, ki, pi, mi = np.unravel_index(idx, (36, 4, P, M))
     xpad = 2 if (order == 3 and mode == "constant") else 0
     tables = _shape_tables(vol_shape, out_shape, xpad)
-    d0, d1, d2, o0, o1, o2 = tables[:6]
     (hz_c, hy, y_lo, slop_lo, slop_hi, w0, w1, xg,
      xw) = (int(round(float(x))) for x in packed[3:12])
-    v = WalkVariant(ps=_PERMS[pq // 6], po=_PERMS[pq % 6],
-                    vb=_PACKINGS[pi][0], wb=_PACKINGS[pi][1],
-                    gu=_MACROS[mi][0], gv=_MACROS[mi][1],
-                    w0=w0, w1=w1, hz=hz_c, hy=hy, kax=_KAXES[ki],
-                    d=(int(d0[pq]), int(d1[pq]), int(d2[pq])),
-                    xg=xg, xw=xw,
-                    out_d=(int(o0[pq]), int(o1[pq]), int(o2[pq])),
-                    order=order, mode=mode, slop_lo=slop_lo,
-                    slop_hi=slop_hi, y_lo=y_lo, xpad=xpad,
-                    whole=bool(kind == 1))
+    v = _variant_from_fields(pq, ki, pi, mi, kind, tables, order, mode,
+                             hz_c, hy, y_lo, slop_lo, slop_hi, w0, w1,
+                             xg, xw)
     return (v, val)
 
 
@@ -792,32 +825,23 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
         def _build(flat_i, kind):
             # kind: 0 = classic window, 1 = whole-resident, 2 = strips
             pq, ki, pi, mi = np.unravel_index(flat_i, cost.shape)
-            ps, po = _PERMS[pq // 6], _PERMS[pq % 6]
-            vb, wb = _PACKINGS[pi]
-            gu, gv = _MACROS[mi]
-            common = dict(
-                ps=ps, po=po, vb=vb, wb=wb, gu=gu, gv=gv,
-                hz=int(hz_c[pq, pi]), hy=int(hy[pq, ki, pi]),
-                kax=_KAXES[ki],
-                d=(int(d0[pq]), int(d1[pq]), int(d2[pq])),
-                out_d=(int(o0[pq]), int(o1[pq]), int(o2[pq])),
-                order=order, mode=mode, slop_lo=int(slop_lo[pq]),
-                slop_hi=int(slop_hi[pq]), y_lo=int(y_lo[pq, ki, pi]),
-                xpad=xpad)
-            if kind == 1:
-                return WalkVariant(w0=int(d0[pq]), w1=int(d1[pq]),
-                                   xg=128, xw=int(xww[pq]), whole=True,
-                                   **common)
             if kind == 2:
+                import dataclasses
                 shv = int(sh[pq, ki, pi, mi])
-                return WalkVariant(w0=int(w0_s[pq, pi, mi]), w1=shv,
-                                   xg=int(xg[pq, pi, mi]),
-                                   xw=int(xw[pq, pi, mi]),
-                                   cs=cs, sh=shv, **common)
-            return WalkVariant(w0=int(w0[pq, pi, mi]),
-                               w1=int(w1[pq, ki, pi, mi]),
-                               xg=int(xg[pq, pi, mi]),
-                               xw=int(xw[pq, pi, mi]), **common)
+                base = _variant_from_fields(
+                    pq, ki, pi, mi, 0, tables, order, mode,
+                    int(hz_c[pq, pi]), int(hy[pq, ki, pi]),
+                    int(y_lo[pq, ki, pi]), int(slop_lo[pq]),
+                    int(slop_hi[pq]), int(w0_s[pq, pi, mi]), shv,
+                    int(xg[pq, pi, mi]), int(xw[pq, pi, mi]))
+                return dataclasses.replace(base, cs=cs, sh=shv)
+            return _variant_from_fields(
+                pq, ki, pi, mi, kind, tables, order, mode,
+                int(hz_c[pq, pi]), int(hy[pq, ki, pi]),
+                int(y_lo[pq, ki, pi]), int(slop_lo[pq]),
+                int(slop_hi[pq]), int(w0[pq, pi, mi]),
+                int(w1[pq, ki, pi, mi]), int(xg[pq, pi, mi]),
+                int(xw[pq, pi, mi]))
 
         if topk > 1:
             # best-of-K enumeration for empirical autotune: the K cheapest
