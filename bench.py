@@ -8,7 +8,9 @@ output kept on device -- the ``static_vol_out`` column.  Baseline numbers
 linear ``static_vol_out`` 8.768 ms / ``cp_transform_out`` 12.710 ms;
 filt_bspline 34.69 / 38.77 ms (BASELINE.md).
 
-Prints ONE JSON line:
+Prints a JSON line after EVERY completed measurement; each line is a
+complete, valid document superseding the previous one, so a tail-parse
+after any timeout still finds the most recent finished state:
   {"metric": ..., "value": <linear mean ms>, "unit": "ms",
    "vs_baseline": <speedup x vs linear static_vol_out>,
    "per_rotation_ms": [...], "cubic_ms": <cubic mean>,
@@ -19,10 +21,14 @@ Prints ONE JSON line:
 The one-shot section measures the reference's ``cp_transform[_out]`` story
 (device-resident volume, fresh matrix each call, everything after the
 matrix arrives): host planning + ONE fused device program doing
-prepare + kernel + un-blocking.  Each rotation's fused program is a fresh
-XLA compile; to bound the bench wall clock on a cold compilation cache the
-section stops admitting new rotations once it has spent its time budget
-and reports the n it reached.
+prepare + kernel + un-blocking.
+
+Wall budget: a global deadline (``BENCH_BUDGET_S`` env, default 3000 s)
+bounds the run; each section stops admitting new rotations at its share of
+the budget so a cold compilation cache can never zero the whole artifact.
+Compiles are served from a persistent cache committed to the repository
+(``.jax_bench_cache/``, primed by running this script on the same chip), so
+the expected driver run is warm: measurement only, a few minutes total.
 
 Timing method: this environment reaches the TPU through an RPC tunnel where
 ``block_until_ready`` returns before execution finishes and every host
@@ -35,6 +41,7 @@ baseline (its kernel was compiled once before its timed loop).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -48,17 +55,88 @@ N_ROT = 16       # linear rotations measured (one compiled program each)
 N_ROT_CUBIC = 16  # cubic rotations: same n as linear so the worst-case
                   # statistic is comparable across interpolation families
 ITERS = 8       # chained applications per program
-ONESHOT_BUDGET_S = 900.0   # wall budget for the one-shot section's fresh
-                           # fused-program compiles (cold-cache guard)
+
+# Global wall budget and the per-section admission fractions: linear may
+# use the first 40%, linear+cubic the first 80%, one-shot the rest.  On a
+# warm persistent cache the whole run takes a few minutes and never hits
+# these; on a cold cache they guarantee every section lands at least a
+# partial n before the driver's own timeout can strike.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "3000"))
+_T0 = time.perf_counter()
+
+
+def _elapsed():
+    return time.perf_counter() - _T0
+
+
+def _cache_dir():
+    """Persistent compile cache inside the repo so a priming run's compiles
+    survive into the driver's benchmark run (cold-cache guard)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, ".jax_bench_cache")
+    try:
+        os.makedirs(path, exist_ok=True)
+        probe = os.path.join(path, ".probe")
+        with open(probe, "w"):
+            pass
+        os.remove(probe)
+        return path
+    except OSError:
+        return "/tmp/voltools_tpu_bench_cache"
+
+
+class _State:
+    """Accumulates results; emit() prints one complete JSON line."""
+
+    def __init__(self, size):
+        self.size = size
+        self.lin = []
+        self.cub = []
+        self.osf = []
+        self.osp = []
+
+    def emit(self, done=False):
+        lin, cub, osf, osp = self.lin, self.cub, self.osf, self.osp
+        if not lin:
+            return
+        mean_lin = float(np.mean(lin))
+        mean_cub = float(np.mean(cub)) if cub else None
+        oneshot = (float(np.mean(osf)) + float(np.mean(osp))) if osf else None
+        doc = {
+            "metric": (f"StaticVolume {self.size}^3 f32 linear, mean of "
+                       f"{len(lin)} random 'sxyz' rotations (reference "
+                       f"benchmark workload), resident volume, device "
+                       f"output"),
+            "value": round(mean_lin, 3),
+            "unit": "ms",
+            "vs_baseline": round(BASELINE_STATIC_MS / mean_lin, 2),
+            "per_rotation_ms": lin,
+            "worst_ms": round(max(lin), 3),
+            "cubic_ms": round(mean_cub, 3) if mean_cub else None,
+            "cubic_vs_baseline": (round(BASELINE_CUBIC_MS / mean_cub, 2)
+                                  if mean_cub else None),
+            "cubic_worst_ms": round(max(cub), 3) if cub else None,
+            "cubic_n": len(cub),
+            "cubic_per_rotation_ms": cub,
+            "oneshot_ms": round(oneshot, 3) if oneshot else None,
+            "oneshot_vs_cp_out": (round(BASELINE_CP_MS / oneshot, 2)
+                                  if oneshot else None),
+            "oneshot_n": len(osf),
+            "oneshot_plan_ms": (round(float(np.mean(osp)), 3)
+                                if osp else None),
+            "oneshot_fused_per_rotation_ms": osf,
+            "elapsed_s": round(_elapsed(), 1),
+            "complete": bool(done),
+        }
+        print(json.dumps(doc), flush=True)
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    sys.path.insert(0, "/root/repo")
-    jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/voltools_tpu_bench_cache")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update("jax_compilation_cache_dir", _cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     from voltools_tpu.kernels.planner import (choose_plan, plan_prepare,
@@ -70,6 +148,7 @@ def main():
     vol = jnp.asarray(rng.random((size,) * 3, dtype=np.float64)
                       .astype(np.float32))
     center = (size / 2,) * 3   # reference benchmark.py:53
+    state = _State(size)
 
     def measure(m, interpolation):
         # tight per-matrix plan (sticky=None: no binary reuse, no
@@ -113,23 +192,26 @@ def main():
         ms = (run(ITERS) - run(1)) / (ITERS - 1) * 1e3
         return ms, type(plan).__name__
 
-    def sweep(interpolation, n_rot):
+    def sweep(interpolation, n_rot, sink, deadline_s):
         rot_rng = np.random.default_rng(0)
         rot_rng.random((size,) * 3, dtype=np.float64)  # align the stream
-        times = []
         for i in range(n_rot):
             ang = rot_rng.uniform(-180, 180, 3)  # reference benchmark.py:52
+            if i > 0 and _elapsed() > deadline_s:
+                print(f"# {interpolation} budget reached at rot {i} "
+                      f"({_elapsed():.0f}s)", file=sys.stderr, flush=True)
+                break
             m = transform_matrix(rotation=tuple(ang), rotation_order="sxyz",
                                  center=center)
             ms, kind = measure(m, interpolation)
             if ms is not None:
-                times.append(round(ms, 3))
+                sink.append(round(ms, 3))
             print(f"# {interpolation} rot {i} {np.round(ang, 1).tolist()}: "
                   f"{'skipped' if ms is None else f'{ms:.2f} ms'} ({kind})",
-                  file=sys.stderr)
-        return times
+                  file=sys.stderr, flush=True)
+            state.emit()
 
-    def oneshot_sweep(n_rot):
+    def oneshot_sweep(n_rot, deadline_s):
         """Measured one-shot path (reference cp_transform_out story): tight
         host plan + ONE fused device program (prepare + kernel + unblock),
         device-resident volume, fresh matrix per call."""
@@ -139,13 +221,11 @@ def main():
                                                       canonical_walk_variant)
         rot_rng = np.random.default_rng(0)
         rot_rng.random((size,) * 3, dtype=np.float64)  # align the stream
-        times, plan_ms = [], []
-        t_section = time.perf_counter()
         for i in range(n_rot):
             ang = rot_rng.uniform(-180, 180, 3)
-            if time.perf_counter() - t_section > ONESHOT_BUDGET_S:
-                print(f"# oneshot budget reached at rot {i}",
-                      file=sys.stderr)
+            if i > 0 and _elapsed() > deadline_s:
+                print(f"# oneshot budget reached at rot {i} "
+                      f"({_elapsed():.0f}s)", file=sys.stderr, flush=True)
                 break
             m = transform_matrix(rotation=tuple(ang), rotation_order="sxyz",
                                  center=center)
@@ -155,7 +235,6 @@ def main():
             t1 = time.perf_counter()
             if not isinstance(plan, WalkVariant):
                 continue
-            plan_ms.append((t1 - t0) * 1e3)
             run = _oneshot_runner(canonical_walk_variant(plan), plan.ps,
                                   plan.po, 0.0, False)
             permute = _permuter(plan.ps, plan.po, plan.xpad, plan.kax)
@@ -185,39 +264,17 @@ def main():
                 return best
 
             ms = (run_n(ITERS) - run_n(1)) / (ITERS - 1) * 1e3
-            times.append(round(ms, 3))
+            state.osf.append(round(ms, 3))
+            state.osp.append(round((t1 - t0) * 1e3, 3))
             print(f"# oneshot rot {i}: fused {ms:.2f} ms "
-                  f"+ plan {plan_ms[-1]:.2f} ms", file=sys.stderr)
-        return times, plan_ms
+                  f"+ plan {state.osp[-1]:.2f} ms", file=sys.stderr,
+                  flush=True)
+            state.emit()
 
-    lin = sweep("linear", N_ROT)
-    cub = sweep("filt_bspline", N_ROT_CUBIC)
-    osf, osp = oneshot_sweep(N_ROT)
-
-    mean_lin = float(np.mean(lin))
-    mean_cub = float(np.mean(cub)) if cub else None
-    oneshot = (float(np.mean(osf)) + float(np.mean(osp))) if osf else None
-    print(json.dumps({
-        "metric": (f"StaticVolume {size}^3 f32 linear, mean of {N_ROT} "
-                   f"random 'sxyz' rotations (reference benchmark "
-                   f"workload), resident volume, device output"),
-        "value": round(mean_lin, 3),
-        "unit": "ms",
-        "vs_baseline": round(BASELINE_STATIC_MS / mean_lin, 2),
-        "per_rotation_ms": lin,
-        "worst_ms": round(max(lin), 3),
-        "cubic_ms": round(mean_cub, 3) if mean_cub else None,
-        "cubic_vs_baseline": (round(BASELINE_CUBIC_MS / mean_cub, 2)
-                              if mean_cub else None),
-        "cubic_worst_ms": round(max(cub), 3) if cub else None,
-        "cubic_per_rotation_ms": cub,
-        "oneshot_ms": round(oneshot, 3) if oneshot else None,
-        "oneshot_vs_cp_out": (round(BASELINE_CP_MS / oneshot, 2)
-                              if oneshot else None),
-        "oneshot_n": len(osf),
-        "oneshot_plan_ms": round(float(np.mean(osp)), 3) if osp else None,
-        "oneshot_fused_per_rotation_ms": osf,
-    }))
+    sweep("linear", N_ROT, state.lin, deadline_s=0.40 * BUDGET_S)
+    sweep("filt_bspline", N_ROT_CUBIC, state.cub, deadline_s=0.80 * BUDGET_S)
+    oneshot_sweep(N_ROT, deadline_s=0.97 * BUDGET_S)
+    state.emit(done=True)
 
 
 if __name__ == "__main__":

@@ -1,6 +1,7 @@
 """Round-3 probe: split the plane-walk kernel's time into DMA vs compute.
 
-For each bench rotation (same stream as bench.py) at 250^3 linear:
+For each rotation at 250^3 (interpolation from argv[2]; round-5 reuses this
+for the cubic-DMA question, VERDICT r4 #4):
   - full: the real walk kernel, slope-timed (tight per-matrix plan)
   - dma:  a stripped kernel issuing the SAME window DMAs (same windows,
     macro grid, pipeline depth) with trivial compute
@@ -226,6 +227,10 @@ def main():
                       .astype(np.float32))
     center = (size / 2,) * 3
     n_rot = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    interp = sys.argv[2] if len(sys.argv) > 2 else "linear"
+    if interp.startswith("filt_bspline"):
+        from voltools_tpu.ops.prefilter import bspline_prefilter
+        vol = jax.jit(bspline_prefilter)(vol)  # kernels sample coefficients
 
     print(f"{'rot':>3} {'hz':>3} {'winMB':>6} {'trafGB':>6} "
           f"{'full':>6} {'dma':>6} {'hz/2':>6} {'perplane':>8} {'GB/s':>5}")
@@ -233,7 +238,7 @@ def main():
         ang = rng.uniform(-180, 180, 3)
         m = transform_matrix(rotation=tuple(ang), rotation_order="sxyz",
                              center=center)
-        v = choose_walk_variant(m, (size,) * 3, "linear", "constant",
+        v = choose_walk_variant(m, (size,) * 3, interp, "constant",
                                 sticky=None)
         if v is None:
             print(f"{i:>3} NONE")

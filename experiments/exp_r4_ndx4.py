@@ -51,8 +51,11 @@ def main():
                 ("u8", {"_UNROLL_OVERRIDE": 8}),
                 ("u4", {"_UNROLL_OVERRIDE": 4}),
                 ("u2", {"_UNROLL_OVERRIDE": 2}),
-                ("split2", {"_DX_SPLIT": 2}),
-                ("mxu", {"_MXU_RESOLVE": True})]
+                ("split2", {"_DX_SPLIT": 2})]
+    # round-5 note: the "mxu" one-hot variant was removed from the kernel
+    # after its round-4 closure (measured 8-11x slower on hardware; see
+    # BENCHMARKS.md "Resolve-scheme probes") -- the hook carried a silent
+    # sublane-constant assumption not worth keeping live.
 
     for ri, tag in rots.items():
         m = transform_matrix(rotation=tuple(angs[ri]),
@@ -66,13 +69,13 @@ def main():
               f"pack={v.vb},{v.wb} g={v.gu},{v.gv}", flush=True)
         base_out = None
         for name, hooks in variants:
-            if tag == "ndx3-control" and name not in ("base", "u4", "mxu"):
+            if tag == "ndx3-control" and name not in ("base", "u4"):
                 continue
-            for k in ("_UNROLL_OVERRIDE", "_DX_SPLIT", "_MXU_RESOLVE"):
+            for k in ("_UNROLL_OVERRIDE", "_DX_SPLIT"):
                 setattr(pw, k, hooks.get(k, None if k == "_UNROLL_OVERRIDE"
-                                         else (0 if k == "_DX_SPLIT"
-                                               else False)))
-            pw._walk_runner.cache_clear()
+                                         else 0))
+            # hook values are part of _walk_runner's cache key now; no
+            # cache_clear needed for the single-matrix runner path
             t0 = time.time()
             runner = pw._walk_runner(vc, 0.0, False)
             out = runner(prep, cols)
@@ -87,7 +90,6 @@ def main():
     # restore production hooks
     pw._UNROLL_OVERRIDE = None
     pw._DX_SPLIT = 0
-    pw._MXU_RESOLVE = False
 
 
 if __name__ == "__main__":

@@ -44,8 +44,8 @@ def main():
     knife = (np.abs(src - np.round(src)) < 1e-3).any(0).reshape((96,)*3)
     err = np.where(knife, 0, np.abs(got - want)).max()
     print(f"fused one-shot parity (96^3): err={err:.2e} "
-          f"fused_keys={len(pw._ONESHOT_KEYS)}", flush=True)
-    assert len(pw._ONESHOT_KEYS) >= 1, "fused path not taken"
+          f"fused_keys={len(pw._ONESHOT_RUNNERS)}", flush=True)
+    assert len(pw._ONESHOT_RUNNERS) >= 1, "fused path not taken"
 
     # --- 2. one-shot measurement (250^3 linear) --------------------------
     size = 250

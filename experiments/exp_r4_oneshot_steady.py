@@ -78,7 +78,7 @@ def main():
     print(f"\nsticky one-shot fused chain over {len(arr)} rotations: "
           f"mean {arr.mean():.2f} ms, worst {arr.max():.2f} ms", flush=True)
     print(f"canonical binaries: {len(pw.known_canonicals())}; "
-          f"fused programs: {len(pw._ONESHOT_KEYS)}", flush=True)
+          f"fused programs: {len(pw._ONESHOT_RUNNERS)}", flush=True)
 
     # steady-state host planning: 16 FRESH matrices against the warm set
     t0 = time.perf_counter()

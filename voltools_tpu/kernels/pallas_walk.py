@@ -67,17 +67,19 @@ _MACROS = ((1, 8), (2, 4), (1, 4), (2, 2), (4, 2),
            # so the grid can run vreg-sized tiles without a redundancy tax
            (1, 1), (1, 2), (2, 1))
 
-# --- experiment hooks (defaults = production behavior; experiments set
-# these and call _walk_runner.cache_clear() -- the lru caches do not key on
-# them) ---------------------------------------------------------------------
+# --- experiment hooks (defaults = production behavior).  The hook values
+# are part of _walk_runner's cache key, so flipping them can never serve a
+# stale single-matrix program; experiments that exercise the BATCHED or
+# FUSED paths must still clear the caches that capture runners
+# (_oneshot_runner, _walk_donor, planner.plan_batch_sampler's lru, and
+# transforms._jitted_affine) before and after flipping a hook.  The round-4
+# _MXU_RESOLVE one-hot probe was removed after its closure (8-11x slower
+# measured on hardware; tables in BENCHMARKS.md "Resolve-scheme probes").
 _UNROLL_OVERRIDE = None   # planes per unrolled group in the compiled walk
                           # (None = fully unrolled, the production setting)
 _DX_SPLIT = 0             # >0: process the dx slots in groups of this size,
                           # re-reading the band rows per group (live-range /
                           # spill probe for the ndx>=4 class)
-_MXU_RESOLVE = False      # resolve x with a one-hot MXU contraction instead
-                          # of lane gathers (HIGHEST precision: parity-exact;
-                          # measurement probe for the judge's scheme (a))
 
 # Parameter quantization ladders.  A compiled kernel depends on the variant's
 # geometric parameters but NOT on the axis permutations (ps/po only permute
@@ -635,10 +637,17 @@ _FAST_SYNC = False         # tests: compile inline instead of in background
 _FAST_THREADS: list = []   # live warm threads, joined at interpreter exit
 
 
-def _fast_join(timeout: float = 90.0):
+def _fast_join(timeout: float = None):
     """Join outstanding warm threads (atexit): tearing a process down in
     the middle of a compile can wedge remote-tunnel platforms for minutes
-    (and aborts noisily); a bounded join lets in-flight warms finish."""
+    (and aborts noisily); a bounded join lets in-flight warms finish.
+
+    The long grace period only applies when a non-CPU backend is live in
+    this process (the tunnel hazard); on a purely local backend a normal
+    XLA:CPU chooser compile finishes in ~1 s, so a short-lived CLI run
+    never hangs at exit behind a wedged (daemon) compile thread."""
+    if timeout is None:
+        timeout = 90.0 if _accelerator_backend_live() else 5.0
     deadline = None
     for th in list(_FAST_THREADS):
         if th.is_alive():
@@ -647,6 +656,17 @@ def _fast_join(timeout: float = 90.0):
                 deadline = _time.monotonic() + timeout
             th.join(max(0.0, deadline - _time.monotonic()))
     _FAST_THREADS.clear()
+
+
+def _accelerator_backend_live() -> bool:
+    """True when a non-CPU jax backend has been initialized in this process
+    (checked via the bridge's registry so the probe itself never initializes
+    one); conservatively True if the registry is unreadable."""
+    try:
+        from jax._src import xla_bridge as xb
+        return any(p != "cpu" for p in getattr(xb, "_backends", {}))
+    except Exception:  # pragma: no cover - private-API drift
+        return True
 
 
 import atexit as _atexit
@@ -1092,7 +1112,7 @@ def fit_walk_variant(matrix, vol_shape, interpolation: str, mode: str,
 
 
 def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False,
-                      batch: int = 0):
+                      batch: int = 0, unroll_override=None, dx_split: int = 0):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -1416,17 +1436,6 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False,
                 for dx in dxs:
                     blk = xparts[dx][0]
                     bmask[dx] = [blk == b for b in range(1, nbw)]
-            # experiment hook: one-hot selection matrices for the MXU
-            # x-resolve (within is per-vreg constant, so these are built
-            # once and reused across all hz planes and y candidates)
-            onehots = None
-            if _MXU_RESOLVE and nbw == 1:
-                src_iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-                onehots = {
-                    dx: (src_iota == jnp.broadcast_to(
-                        xparts[dx][1][0:1, :], (128, 128))
-                         ).astype(jnp.float32)
-                    for dx in dxs}
             wfold = {}
             for dx in dxs:
                 acc = jnp.zeros((8, 128), jnp.float32)
@@ -1513,9 +1522,9 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False,
                 # contraction, y-first ordering) lands on the same op count
                 # or worse (exp_r4_ndx4.py, BENCHMARKS.md round-4 notes).
                 hits = [None] * len(ytaps)
-                dx_groups = ([dxs] if not _DX_SPLIT else
-                             [dxs[i:i + _DX_SPLIT]
-                              for i in range(0, len(dxs), _DX_SPLIT)])
+                dx_groups = ([dxs] if not dx_split else
+                             [dxs[i:i + dx_split]
+                              for i in range(0, len(dxs), dx_split)])
                 for c in range(ycand):
                     mcs, moks = [], []
                     for iy, (yt, _) in enumerate(ytaps):
@@ -1532,21 +1541,13 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False,
                                 for b in range(nbw)]
                         for dx in grp:
                             _, within = xparts[dx]
-                            if onehots is not None:
-                                g = jax.lax.dot_general(
-                                    rows[0], onehots[dx],
-                                    dimension_numbers=(((1,), (0,)),
-                                                       ((), ())),
-                                    preferred_element_type=jnp.float32,
-                                    precision=jax.lax.Precision.HIGHEST)
-                            else:
-                                g = jnp.take_along_axis(rows[0], within,
-                                                        axis=1)
-                                for b in range(1, nbw):
-                                    gat = jnp.take_along_axis(rows[b],
-                                                              within,
-                                                              axis=1)
-                                    g = jnp.where(bmask[dx][b - 1], gat, g)
+                            g = jnp.take_along_axis(rows[0], within,
+                                                    axis=1)
+                            for b in range(1, nbw):
+                                gat = jnp.take_along_axis(rows[b],
+                                                          within,
+                                                          axis=1)
+                                g = jnp.where(bmask[dx][b - 1], gat, g)
                             wf = wfold[dx]
                             for iy in range(len(ytaps)):
                                 p = wf * jnp.take_along_axis(g, mcs[iy],
@@ -1569,7 +1570,7 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False,
             # (yb -> clip -> slice) with the others' vector work.  The
             # interpreter keeps the fori_loop instead (the unrolled trace
             # takes minutes to compile on CPU, with nothing to overlap).
-            unroll = 1 if interpret else min(_UNROLL_OVERRIDE or hz, hz)
+            unroll = 1 if interpret else min(unroll_override or hz, hz)
             def plane_pair(k2, acc):
                 for uu in range(unroll):
                     acc = plane_step(k2 * unroll + uu, acc)
@@ -1658,7 +1659,9 @@ def canonical_walk_variant(v: WalkVariant) -> WalkVariant:
 # canonical forms whose Mosaic binaries exist (newest last); the chooser's
 # sticky policy prefers these over fresh compiles
 _KNOWN_CANONICALS: list = []
-_CANON_LOCK = threading.Lock()
+# RLock: oneshot_walk_sampler builds _oneshot_runner under the lock, and
+# that construction reaches _walk_runner's own _CANON_LOCK section
+_CANON_LOCK = threading.RLock()
 
 
 def known_canonicals():
@@ -1666,7 +1669,6 @@ def known_canonicals():
         return tuple(_KNOWN_CANONICALS)
 
 
-@functools.lru_cache(maxsize=128)
 def _walk_runner(vc: WalkVariant, cval: float, interpret: bool,
                  batch: int = 0):
     """Jitted pallas launch for a canonical variant: (vol_s, cols) -> the
@@ -1674,7 +1676,18 @@ def _walk_runner(vc: WalkVariant, cval: float, interpret: bool,
     reuses one compiled executable.  ``batch`` > 0 adds a leading grid
     dimension over a (batch, 4, 4) payload stack -- N matrices resolved in
     ONE launch with per-matrix SMEM payloads (the batched sweep the
-    reference looped in Python, ``tests/benchmark.py:59-65``)."""
+    reference looped in Python, ``tests/benchmark.py:59-65``).
+
+    The experiment hooks are folded into the cache key here so flipping
+    them between calls can never serve a program compiled under the old
+    values."""
+    return _walk_runner_hooked(vc, cval, interpret, batch,
+                               _UNROLL_OVERRIDE, _DX_SPLIT)
+
+
+@functools.lru_cache(maxsize=128)
+def _walk_runner_hooked(vc: WalkVariant, cval: float, interpret: bool,
+                        batch: int, _unroll, _dx_split):
     with _CANON_LOCK:
         if vc not in _KNOWN_CANONICALS:
             _KNOWN_CANONICALS.append(vc)
@@ -1706,7 +1719,8 @@ def _walk_runner(vc: WalkVariant, cval: float, interpret: bool,
         def index_map(u, vv, w):
             return (vv, w, u, 0)
 
-    kernel = _make_walk_kernel(v, cval, interpret, batch)
+    kernel = _make_walk_kernel(v, cval, interpret, batch,
+                               unroll_override=_unroll, dx_split=_dx_split)
     depth = 1 if v.whole else _PIPELINE_DEPTH
 
     def run(vol_s, cols):
@@ -1812,9 +1826,13 @@ def affine_sample_pallas_walk(volume, matrix, v: WalkVariant,
 # executable (including its Mosaic kernel) per key, so the population is
 # capped -- one-shot users (few matrices) get the fused program, sweep
 # users overflow the cap and gracefully degrade to the eagerly-composed
-# stages (which share Mosaic binaries across permutations).
+# stages (which share Mosaic binaries across permutations).  The dict holds
+# strong references to the admitted samplers (so _oneshot_runner's LRU
+# churning -- e.g. direct benchmark use -- can never strand an admitted key
+# without its runner), and a key is only admitted once its program has run
+# successfully: a failed first call releases the slot.
 _ONESHOT_CAP = 8
-_ONESHOT_KEYS: set = set()
+_ONESHOT_RUNNERS: dict = {}
 
 
 @functools.lru_cache(maxsize=32)
@@ -1874,15 +1892,25 @@ def oneshot_walk_sampler(v: WalkVariant, cval: float, prefilter: bool):
     key = (canonical_walk_variant(v), v.ps, v.po, float(cval),
            bool(prefilter))
     with _CANON_LOCK:
-        if key not in _ONESHOT_KEYS and len(_ONESHOT_KEYS) >= _ONESHOT_CAP:
-            return None
-        _ONESHOT_KEYS.add(key)
-    run = _oneshot_runner(*key)
+        run = _ONESHOT_RUNNERS.get(key)
+        if run is None:
+            if len(_ONESHOT_RUNNERS) >= _ONESHOT_CAP:
+                return None
+            run = _oneshot_runner(*key)   # lazy jit: no compile yet
+            _ONESHOT_RUNNERS[key] = run
     permute = _permuter(v.ps, v.po, v.xpad, v.kax)
     y_lo = jnp.int32(v.y_lo)
 
     def sample(volume, matrix):
-        return run(volume, permute(matrix, y_lo))
+        try:
+            return run(volume, permute(matrix, y_lo))
+        except Exception:
+            # a program that cannot compile/execute must not hold a cap
+            # slot forever; release it so future keys can still be admitted
+            with _CANON_LOCK:
+                if _ONESHOT_RUNNERS.get(key) is run:
+                    del _ONESHOT_RUNNERS[key]
+            raise
 
     return sample
 

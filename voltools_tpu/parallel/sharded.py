@@ -8,9 +8,20 @@ This module is the TPU-native capability extension described in SURVEY.md §2:
   1-D ``jax.sharding.Mesh``.  Affine transforms run under ``shard_map``:
   each chip computes its output slab.  For *local* transforms (translations,
   small rotations: every output voxel's source stays within a bounded halo
-  of its own slab) only a halo exchange over ICI is needed; for global ones
-  (arbitrary rotations mix all slabs) the source volume is all-gathered —
-  both paths produce results identical to the single-chip kernel.
+  of its own slab) only a halo exchange over ICI is needed.  For global
+  ones (arbitrary rotations mix all slabs) the default is a GATHER-FREE
+  ring stream: interpolation taps are linear in the source under per-tap
+  zero extension (every tap index lands in exactly one z-slab), so each
+  chip's output slab is the sum over source slabs of partial per-tap
+  samples — the reduce-scatter form of the psum decomposition the
+  volume-sharded SIRT forward proved exact
+  (``models/reconstruction.py:507-531``).  Source slabs ride a ``ppermute``
+  ring; no array of the full volume's size ever exists on any chip, so
+  volumes larger than one chip's HBM stay transformable.
+  ``global_strategy='gather'`` opts back into the all-gather body (faster
+  when the whole volume comfortably fits per-chip, since the Pallas kernel
+  can then serve the slab).  All paths produce results identical to the
+  single-chip kernel.
 * :func:`sharded_affine_batch` — N matrices applied data-parallel across the
   mesh (each chip transforms the full volume for its share of the matrices),
   the natural scaling axis for tilt-series / orientation-sweep workloads.
@@ -79,15 +90,112 @@ def halo_for_matrix(shape, matrix, interpolation: str = "linear") -> Optional[in
     return halo
 
 
+def _partial_sample_pertap(slab, coords, z0, true_shape,
+                           interpolation: str, mode: str):
+    """This z-slab's contribution to a whole-volume interpolation sample.
+
+    ``slab`` holds source rows ``[z0, z0 + slab.shape[0])`` of a volume
+    whose TRUE extent is ``true_shape``; ``coords`` are GLOBAL fractional
+    source coordinates.  Tap indices are resolved exactly as the
+    single-chip samplers do (``ops/interpolation.py:89-187``: clip for
+    linear-'constant', mirror for cubic-'constant', zero outside for
+    'border'), then each tap contributes only when its z index lands in
+    this slab — per-tap zero extension, under which the sample is linear
+    in the source over disjoint slabs, so summing the partials over all
+    slabs reproduces the full-volume sample exactly (same argument as the
+    volume-sharded SIRT forward, ``models/reconstruction.py:122-157``).
+    The whole-sample inside/cval mask is the caller's job (it needs only
+    global coordinates, no volume data)."""
+    import jax.numpy as jnp
+
+    from ..ops.interpolation import _mirror_index, cubic_bspline_weights
+
+    d0, d1, d2 = true_shape
+    loc = slab.shape[0]
+    flat = slab.reshape(-1)
+    sz, sy, sx = coords[0], coords[1], coords[2]
+    z0f, y0f, x0f = jnp.floor(sz), jnp.floor(sy), jnp.floor(sx)
+    zb = z0f.astype(jnp.int32)
+    yb = y0f.astype(jnp.int32)
+    xb = x0f.astype(jnp.int32)
+    fz, fy, fx = sz - z0f, sy - y0f, sx - x0f
+
+    constant = mode == "constant"
+    from ..ops.interpolation import spline_order
+    order = spline_order(interpolation)
+
+    def tap(zg, yg, xg, ok, w):
+        """Accumulate one tap: global (already edge-resolved) indices, an
+        optional 'border' validity mask, and the separable weight."""
+        zl = zg - z0
+        own = (zl >= 0) & (zl < loc)
+        if ok is not None:
+            own = own & ok
+        lin = (jnp.clip(zl, 0, loc - 1) * d1 + jnp.clip(yg, 0, d1 - 1)) \
+            * d2 + jnp.clip(xg, 0, d2 - 1)
+        v = jnp.take(flat, lin.reshape(-1), mode="clip").reshape(lin.shape)
+        return jnp.where(own, v, 0.0) * w
+
+    out = jnp.zeros_like(sz)
+    if order == 1:
+        for dz in (0, 1):
+            wz = fz if dz else 1.0 - fz
+            for dy in (0, 1):
+                wy = fy if dy else 1.0 - fy
+                for dx in (0, 1):
+                    wx = fx if dx else 1.0 - fx
+                    z, y, x = zb + dz, yb + dy, xb + dx
+                    if constant:
+                        # single-chip semantics: taps clip (an in-range
+                        # point's +1 tap only clips with weight 0)
+                        out = out + tap(jnp.clip(z, 0, d0 - 1), y, x,
+                                        None, wz * wy * wx)
+                    else:
+                        ok = ((z >= 0) & (z < d0) & (y >= 0) & (y < d1)
+                              & (x >= 0) & (x < d2))
+                        out = out + tap(jnp.clip(z, 0, d0 - 1), y, x,
+                                        ok, wz * wy * wx)
+        return out
+
+    wzs = cubic_bspline_weights(fz)
+    wys = cubic_bspline_weights(fy)
+    wxs = cubic_bspline_weights(fx)
+
+    def cidx(base, t, n):
+        idx = base + (t - 1)
+        if constant:   # scipy: taps mirror-reflect at the global edges
+            return _mirror_index(idx, n), None
+        return jnp.clip(idx, 0, n - 1), (idx >= 0) & (idx < n)
+
+    for dz in range(4):
+        z, okz = cidx(zb, dz, d0)
+        for dy in range(4):
+            y, oky = cidx(yb, dy, d1)
+            w_zy = wzs[dz] * wys[dy]
+            for dx in range(4):
+                x, okx = cidx(xb, dx, d2)
+                ok = None if constant else (okz & oky & okx)
+                out = out + tap(z, y, x, ok, w_zy * wxs[dx])
+    return out
+
+
 class ShardedVolume:
     """A volume sharded along axis 0 across a device mesh.
 
     Parameters mirror :class:`voltools_tpu.StaticVolume`; the volume is
-    prefiltered once (globally, before sharding) for ``filt_bspline*``.
+    prefiltered once (shard-wise where possible) for ``filt_bspline*``.
+    ``global_strategy`` picks the body for non-local transforms:
+    ``'stream'`` (default) is the gather-free ppermute ring — per-slab
+    partial taps summed as the source slabs stream past, O(slab) memory on
+    every chip; ``'gather'`` all-gathers the source over ICI first — less
+    per-chip compute (and Pallas-served on TPU), but it materialises the
+    full volume per chip, which defeats sharding's memory purpose for
+    volumes that don't fit.
     """
 
     def __init__(self, data: np.ndarray, interpolation: str = "linear",
-                 mesh=None, mode: str = "constant", cval: float = 0.0):
+                 mesh=None, mode: str = "constant", cval: float = 0.0,
+                 global_strategy: str = "stream"):
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -100,6 +208,10 @@ class ShardedVolume:
                 f"Interpolation must be one of {AVAILABLE_INTERPOLATIONS}")
         if mode not in MODES:
             raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
+        if global_strategy not in ("stream", "gather"):
+            raise ValueError("global_strategy must be 'stream' or 'gather', "
+                             f"got {global_strategy!r}")
+        self.global_strategy = global_strategy
         self.mesh = mesh if mesh is not None else make_mesh()
         self.axis_name = self.mesh.axis_names[0]
         n = self.mesh.devices.size
@@ -238,7 +350,7 @@ class ShardedVolume:
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        key = (halo, plan)
+        key = (halo, plan, self.global_strategy)
         if key in self._samplers:
             return self._samplers[key]
 
@@ -249,6 +361,7 @@ class ShardedVolume:
         d0 = self.shape[0]          # TRUE extent: all masking uses this
         local = self._d0p // n      # padded slab height
         pad = self._pad
+        shape = self.shape
         from ..ops.sampling import affine_sample
 
         def mask_true_z(out, m_dev):
@@ -265,7 +378,50 @@ class ShardedVolume:
                 inside = (zsrc >= 0) & (zsrc <= d0 - 1)
             return jnp.where(inside, out, jnp.float32(cval))
 
-        if halo is None and plan is not None:
+        if halo is None and self.global_strategy == "stream":
+            def body(vol_shard, matrix):
+                # gather-free global transform: source slabs stream around
+                # a ppermute ring; each chip accumulates its own output
+                # slab as the sum of per-tap partial samples of whichever
+                # slab is resident this step (per-tap zero extension makes
+                # the sum exact -- see _partial_sample_pertap).  Peak
+                # per-chip live set: two slab buffers + the output slab +
+                # coords; never the full volume.
+                from ..ops.sampling import affine_coords
+                idx = jax.lax.axis_index(axis)
+                start = (idx * local).astype(jnp.float32)
+                # exact f32 shift composition (a jnp matmul would run at
+                # bf16 matmul precision on TPU and shred the matrix)
+                m_dev = matrix.at[:, 3].add(matrix[:, 0] * start)
+                out_shape = (local,) + shape[1:]
+                coords = affine_coords(out_shape, m_dev)   # global frame
+                acc = jnp.zeros(out_shape, jnp.float32)
+                src = vol_shard
+                src_idx = idx
+                for k in range(n):
+                    z0 = src_idx * local
+                    acc = acc + _partial_sample_pertap(
+                        src, coords, z0, shape, interp, mode)
+                    if k < n - 1:
+                        src = jax.lax.ppermute(
+                            src, axis, [(i, (i + 1) % n) for i in range(n)])
+                        src_idx = (src_idx - 1) % n
+                # whole-sample mask in the global frame (all three axes,
+                # exactly the single-chip samplers' inside test)
+                if mode == "border":
+                    inside = ((coords[0] > -0.5) & (coords[0] < d0 - 0.5)
+                              & (coords[1] > -0.5)
+                              & (coords[1] < shape[1] - 0.5)
+                              & (coords[2] > -0.5)
+                              & (coords[2] < shape[2] - 0.5))
+                else:
+                    inside = ((coords[0] >= 0) & (coords[0] <= d0 - 1)
+                              & (coords[1] >= 0)
+                              & (coords[1] <= shape[1] - 1)
+                              & (coords[2] >= 0)
+                              & (coords[2] <= shape[2] - 1))
+                return jnp.where(inside, acc, jnp.float32(cval))
+        elif halo is None and plan is not None:
             from ..kernels.planner import plan_sample
 
             def body(vol_shard, matrix):
@@ -407,8 +563,11 @@ class ShardedVolume:
         halo = halo_for_matrix(self.shape, transform_m, self.interpolation)
         local = self._d0p // self.mesh.devices.size
         if halo is not None and halo + 1 > local:
-            halo = None  # halo would exceed the slab; use the gather path
-        plan = self._plan_for(transform_m, halo)
+            halo = None  # halo exceeds the slab; treat as a global transform
+        if halo is None and self.global_strategy == "stream":
+            plan = None  # the ring body needs no kernel plan
+        else:
+            plan = self._plan_for(transform_m, halo)
         fn = self._get_sampler(halo, plan)
         result = fn(self.data, jnp.asarray(transform_m, jnp.float32))
         if self._pad:

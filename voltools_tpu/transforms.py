@@ -379,8 +379,15 @@ def affine(volume: np.ndarray,
                 raise ValueError("output='device' requires a jax device")
             return _affine_cpu(volume, transform_m, interpolation, reshape,
                                output, cpu_backend, mode, cval)
-        return _affine_jax(volume, transform_m, interpolation, reshape,
-                           output, device, mode, cval)
+        result = _affine_jax(volume, transform_m, interpolation, reshape,
+                             output, device, mode, cval)
+        if timer is not None and hasattr(result, "block_until_ready"):
+            # output='device' returns without a host copy; the profile
+            # contract (reference transforms.py:157,219: the printed ms
+            # covers the transform) requires completing device execution
+            # inside the timer bracket, not just dispatch
+            result.block_until_ready()
+        return result
     finally:
         if timer:
             timer.__exit__(None, None, None)

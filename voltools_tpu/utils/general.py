@@ -39,13 +39,21 @@ def get_available_devices():
 
     devices.append("jax")
     platform = jax_devices[0].platform if jax_devices else "cpu"
-    if platform != "cpu":
-        # Accept 'tpu' (and 'tpu:N') for any accelerator platform; some
-        # runtimes report experimental platform names for TPU hardware.
+    if _is_tpu_platform(platform):
         devices.append("tpu")
         for i, _ in enumerate(jax_devices):
             devices.append(f"tpu:{i}")
     return devices
+
+
+def _is_tpu_platform(platform: str) -> bool:
+    """True only for TPU-family platforms.  'tpu' is a contract: on a
+    CUDA/ROCm/Metal host ``device='tpu'`` must NOT silently bind a GPU --
+    the generic accelerator alias there is ``'jax'``.  Remote-TPU plugins
+    (e.g. this rig's tunnel) report ``platform == 'tpu'`` too; experimental
+    ones that embed 'tpu' in the name are also accepted."""
+    p = platform.lower()
+    return p == "tpu" or "tpu" in p
 
 
 def resolve_device(device: str):
@@ -57,7 +65,7 @@ def resolve_device(device: str):
         return jax.devices()[0]
     if device == "tpu" or device.startswith("tpu:"):
         jax_devices = jax.devices()
-        if jax_devices[0].platform == "cpu":
+        if not _is_tpu_platform(jax_devices[0].platform):
             raise ValueError("No TPU backend available; use device='cpu' or 'jax'")
         idx = int(device[4:]) if len(device) > 4 else 0
         return jax_devices[idx]

@@ -367,11 +367,20 @@ class StaticVolume:
             timer.__enter__()
         try:
             if donate:
-                return sampler(self.data,
-                               jnp.asarray(transform_m, jnp.float32), output)
+                result = sampler(self.data,
+                                 jnp.asarray(transform_m, jnp.float32),
+                                 output)
+                if timer is not None:
+                    # the profile contract covers the transform, not just
+                    # its dispatch: complete device execution inside the
+                    # timer bracket on the async (device-output) paths too
+                    result.block_until_ready()
+                return result
             result = sampler(self.data,
                              jnp.asarray(transform_m, jnp.float32))
             if isinstance(output, str) and output == "device":
+                if timer is not None:
+                    result.block_until_ready()
                 return result
             result.block_until_ready()
         finally:
@@ -431,9 +440,13 @@ class StaticVolume:
             # group = one Mosaic binary + data layout; kappa/y_lo per matrix
             # ride in the runtime payload)
             if isinstance(output, str) and output == "device":
-                return assemble(self._grouped_batch(transform_ms),
-                                lambda r: jnp.expand_dims(r, 0),
-                                jnp.concatenate)
+                result = assemble(self._grouped_batch(transform_ms),
+                                  lambda r: jnp.expand_dims(r, 0),
+                                  jnp.concatenate)
+                if timer is not None:
+                    # profile covers execution, not dispatch (see affine())
+                    result.block_until_ready()
+                return result
             # host return: materialize each chunk's results immediately so
             # the device never holds more than one chunk of output stack
             result_np = assemble(
