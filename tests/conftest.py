@@ -59,3 +59,36 @@ def small_volume(rng):
 @pytest.fixture
 def cube_volume(rng):
     return rng.random((24, 24, 24)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# quick/slow split: `pytest -q` (the default, via addopts in pyproject.toml)
+# skips the tests below and finishes in ~4 min warm; CI's full run
+# (`-m "slow or not slow"`) still executes everything, so there is no
+# coverage loss where it counts.  The list is nodeids rather than scattered
+# marks so the whole budget is auditable in one place.
+_SLOW_NODEIDS = {
+    # inline-compiles the chooser core for 9 shapes x 3 configs (~95 s);
+    # test_fast_chooser_matches_numpy_quick keeps one config in the quick set
+    "tests/test_walk.py::test_fast_chooser_matches_numpy",
+    "tests/test_prefilter.py::test_fir_equals_scan_interior",
+    "tests/test_prefilter.py::test_prefilter_matches_scipy_mirror[scan]",
+    "tests/test_walk.py::test_autotune_plan_interpret",
+    "tests/test_pallas.py::test_variant_rejects_full_3d_rotation",
+    # the bspline select-tree parity grid keeps shear/scale/translate/
+    # identity/rot_small quick; the two heaviest rotations run in full CI
+    "tests/test_pallas.py::test_pallas_matches_xla[rot_single_axis_60-constant-bspline]",
+    "tests/test_pallas.py::test_pallas_matches_xla[rot_single_axis_60-border-bspline]",
+    "tests/test_pallas.py::test_pallas_matches_xla[rot_z_170-constant-bspline]",
+    "tests/test_pallas.py::test_pallas_matches_xla[rot_z_170-border-bspline]",
+    # non-divisible sharding keeps one mode x shape cell quick
+    "tests/test_parallel.py::test_sharded_non_divisible_extent[constant-shape0]",
+    "tests/test_parallel.py::test_sharded_non_divisible_extent[constant-shape1]",
+    "tests/test_parallel.py::test_sharded_non_divisible_extent[border-shape0]",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.nodeid in _SLOW_NODEIDS:
+            item.add_marker(pytest.mark.slow)

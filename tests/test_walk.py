@@ -488,22 +488,20 @@ def test_oneshot_sampler_population_cap(volume, monkeypatch):
     assert pw.oneshot_walk_sampler(v1, 0.0, False) is not None
 
 
-def test_fast_chooser_matches_numpy(monkeypatch):
-    """The jitted-on-CPU chooser core (_fast_search) and the numpy
-    reference must agree: same feasibility, and modeled cost within the
-    float32 tie band (the winner is cover-validated either way, so a tie
-    flip only trades model-equal configs)."""
+def _chooser_agreement(monkeypatch, shapes, n_cases, configs):
+    """Shared body: the jitted-on-CPU chooser core (_fast_search) and the
+    numpy reference must agree — same feasibility, and modeled cost within
+    the float32 tie band (the winner is cover-validated either way, so a
+    tie flip only trades model-equal configs)."""
     import voltools_tpu.kernels.pallas_walk as pw
 
     # compile the chooser core inline (the production default warms it in
     # a background thread and serves numpy until ready)
     monkeypatch.setattr(pw, "_FAST_SYNC", True)
-    shapes = [(40, 48, 56), (25, 25, 25), (100, 100, 100)]
-    for i in range(9):
+    for i in range(n_cases):
         shape = shapes[i % len(shapes)]
         m = random_rotation(100 + i, shape)
-        for interp, quant in (("linear", True), ("linear", False),
-                              ("filt_bspline", True)):
+        for interp, quant in configs:
             pw._FAST_BAD.clear()
             va = choose_walk_variant(m, shape, interp, "constant",
                                      sticky=None, quantize=quant)
@@ -519,6 +517,20 @@ def test_fast_chooser_matches_numpy(monkeypatch):
                 cb = pw._variant_cost(vb)
                 assert abs(ca - cb) <= 0.05 * max(ca, cb), (
                     shape, interp, quant, va, vb)
+
+
+def test_fast_chooser_matches_numpy_quick(monkeypatch):
+    """Quick-set representative of the full 9x3 agreement grid below."""
+    _chooser_agreement(monkeypatch, [(40, 48, 56)], 1,
+                       (("linear", True),))
+
+
+def test_fast_chooser_matches_numpy(monkeypatch):
+    """The full 9-rotation x 3-config agreement grid (slow set)."""
+    _chooser_agreement(monkeypatch,
+                       [(40, 48, 56), (25, 25, 25), (100, 100, 100)], 9,
+                       (("linear", True), ("linear", False),
+                        ("filt_bspline", True)))
 
 
 def test_chooser_extreme_matrix_no_overflow():
