@@ -221,6 +221,11 @@ def main():
                       "/tmp/voltools_tpu_bench_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
+    from voltools_tpu.kernels import pallas_walk as _pwmod
+    _pwmod._FAST_CHOOSER = False   # deterministic numpy planning (matches
+    #                                bench.py; the jitted core can flip
+    #                                model-equal ties run-to-run)
+
     size = 250
     rng = np.random.default_rng(0)
     vol = jnp.asarray(rng.random((size,) * 3, dtype=np.float64)

@@ -28,6 +28,11 @@ def main():
                       "/tmp/voltools_tpu_bench_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
+    from voltools_tpu.kernels import pallas_walk as _pwmod
+    _pwmod._FAST_CHOOSER = False   # deterministic numpy planning (matches
+    #                                bench.py; the jitted core can flip
+    #                                model-equal ties run-to-run)
+
     from voltools_tpu.kernels import pallas_walk as pw
     from voltools_tpu.kernels.planner import (plan_prepare,
                                               plan_sample_prepared)
