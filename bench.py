@@ -60,8 +60,11 @@ ITERS = 8       # chained applications per program
 # use the first 40%, linear+cubic the first 80%, one-shot the rest.  On a
 # warm persistent cache the whole run takes a few minutes and never hits
 # these; on a cold cache they guarantee every section lands at least a
-# partial n before the driver's own timeout can strike.
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "3000"))
+# partial n before the driver's own timeout can strike.  The default sits
+# under the driver's observed kill window (round 4 died at rc=124 between
+# 1700 and 1780 s -> a 1800 s timeout), with headroom for startup and the
+# final emit.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1650"))
 _T0 = time.perf_counter()
 
 
