@@ -23,12 +23,14 @@ The one-shot section measures the reference's ``cp_transform[_out]`` story
 matrix arrives): host planning + ONE fused device program doing
 prepare + kernel + un-blocking.
 
-Wall budget: a global deadline (``BENCH_BUDGET_S`` env, default 3000 s)
-bounds the run; each section stops admitting new rotations at its share of
-the budget so a cold compilation cache can never zero the whole artifact.
-Compiles are served from a persistent cache committed to the repository
-(``.jax_bench_cache/``, primed by running this script on the same chip), so
-the expected driver run is warm: measurement only, a few minutes total.
+Wall budget: a global deadline (``BENCH_BUDGET_S`` env, default 1650 s)
+bounds the run.  The three sections are interleaved ROUND-ROBIN per
+rotation (linear i, cubic i, one-shot i, then i+1 ...), so when a cold
+compilation cache eats the budget every family still accumulates evenly —
+a timeout truncates n, never a whole section.  Compiles are served from a
+persistent cache committed to the repository (``.jax_bench_cache/``,
+primed by running this script on the same chip), so the expected driver
+run is warm: measurement only, a few minutes total.
 
 Timing method: this environment reaches the TPU through an RPC tunnel where
 ``block_until_ready`` returns before execution finishes and every host
@@ -56,15 +58,16 @@ N_ROT_CUBIC = 16  # cubic rotations: same n as linear so the worst-case
                   # statistic is comparable across interpolation families
 ITERS = 8       # chained applications per program
 
-# Global wall budget and the per-section admission fractions: linear may
-# use the first 40%, linear+cubic the first 80%, one-shot the rest.  On a
-# warm persistent cache the whole run takes a few minutes and never hits
-# these; on a cold cache they guarantee every section lands at least a
-# partial n before the driver's own timeout can strike.  The default sits
-# under the driver's observed kill window (round 4 died at rc=124 between
-# 1700 and 1780 s -> a 1800 s timeout), with headroom for startup and the
-# final emit.
+# Global wall budget: new work is admitted only while elapsed time is
+# under ADMIT x budget (the margin covers one worst-case cold compile
+# ~170 s still in flight at admission time).  On a warm persistent cache
+# the whole run takes a few minutes and never hits this; on a cold cache
+# the round-robin guarantees every family lands a balanced partial n
+# before the driver's own timeout can strike.  The default sits under the
+# driver's observed kill window (round 4 died at rc=124 between 1700 and
+# 1780 s -> a 1800 s timeout), with headroom for startup and final emit.
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1650"))
+ADMIT = 0.88
 _T0 = time.perf_counter()
 
 
@@ -206,26 +209,16 @@ def main():
         ms = (run(ITERS) - run(1)) / (ITERS - 1) * 1e3
         return ms, type(plan).__name__
 
-    def sweep(interpolation, n_rot, sink, deadline_s):
-        rot_rng = np.random.default_rng(0)
-        rot_rng.random((size,) * 3, dtype=np.float64)  # align the stream
-        for i in range(n_rot):
-            ang = rot_rng.uniform(-180, 180, 3)  # reference benchmark.py:52
-            if i > 0 and _elapsed() > deadline_s:
-                print(f"# {interpolation} budget reached at rot {i} "
-                      f"({_elapsed():.0f}s)", file=sys.stderr, flush=True)
-                break
-            m = transform_matrix(rotation=tuple(ang), rotation_order="sxyz",
-                                 center=center)
-            ms, kind = measure(m, interpolation)
-            if ms is not None:
-                sink.append(round(ms, 3))
-            print(f"# {interpolation} rot {i} {np.round(ang, 1).tolist()}: "
-                  f"{'skipped' if ms is None else f'{ms:.2f} ms'} ({kind})",
-                  file=sys.stderr, flush=True)
-            state.emit()
+    def measure_rot(i, ang, m, interpolation, sink):
+        ms, kind = measure(m, interpolation)
+        if ms is not None:
+            sink.append(round(ms, 3))
+        print(f"# {interpolation} rot {i} {np.round(ang, 1).tolist()}: "
+              f"{'skipped' if ms is None else f'{ms:.2f} ms'} ({kind})",
+              file=sys.stderr, flush=True)
+        state.emit()
 
-    def oneshot_sweep(n_rot, deadline_s):
+    def measure_oneshot(i, m):
         """Measured one-shot path (reference cp_transform_out story): tight
         host plan + ONE fused device program (prepare + kernel + unblock),
         device-resident volume, fresh matrix per call."""
@@ -233,22 +226,11 @@ def main():
                                                       _oneshot_runner,
                                                       _permuter,
                                                       canonical_walk_variant)
-        rot_rng = np.random.default_rng(0)
-        rot_rng.random((size,) * 3, dtype=np.float64)  # align the stream
-        for i in range(n_rot):
-            ang = rot_rng.uniform(-180, 180, 3)
-            if i > 0 and _elapsed() > deadline_s:
-                print(f"# oneshot budget reached at rot {i} "
-                      f"({_elapsed():.0f}s)", file=sys.stderr, flush=True)
-                break
-            m = transform_matrix(rotation=tuple(ang), rotation_order="sxyz",
-                                 center=center)
-            t0 = time.perf_counter()
-            plan = choose_plan(m, vol.shape, "linear", "constant",
-                               sticky=None)
-            t1 = time.perf_counter()
-            if not isinstance(plan, WalkVariant):
-                continue
+        t0 = time.perf_counter()
+        plan = choose_plan(m, vol.shape, "linear", "constant",
+                           sticky=None)
+        t1 = time.perf_counter()
+        if isinstance(plan, WalkVariant):
             run = _oneshot_runner(canonical_walk_variant(plan), plan.ps,
                                   plan.po, 0.0, False)
             permute = _permuter(plan.ps, plan.po, plan.xpad, plan.kax)
@@ -283,12 +265,39 @@ def main():
             print(f"# oneshot rot {i}: fused {ms:.2f} ms "
                   f"+ plan {state.osp[-1]:.2f} ms", file=sys.stderr,
                   flush=True)
-            state.emit()
+        state.emit()
 
-    sweep("linear", N_ROT, state.lin, deadline_s=0.40 * BUDGET_S)
-    sweep("filt_bspline", N_ROT_CUBIC, state.cub, deadline_s=0.80 * BUDGET_S)
-    oneshot_sweep(N_ROT, deadline_s=0.97 * BUDGET_S)
-    state.emit(done=True)
+    # The three families measure the SAME rotation stream (reference
+    # benchmark.py:52: uniform [-180, 180)^3, seed-0 'sxyz'), interleaved
+    # round-robin so a budget truncation keeps the families' n balanced.
+    rot_rng = np.random.default_rng(0)
+    rot_rng.random((size,) * 3, dtype=np.float64)  # align the stream
+    rots = []
+    for _ in range(max(N_ROT, N_ROT_CUBIC)):
+        ang = rot_rng.uniform(-180, 180, 3)
+        rots.append((ang, transform_matrix(rotation=tuple(ang),
+                                           rotation_order="sxyz",
+                                           center=center)))
+
+    truncated = False
+    for i, (ang, m) in enumerate(rots):
+        for fam in ("linear", "filt_bspline", "oneshot"):
+            if i > 0 and _elapsed() > ADMIT * BUDGET_S:
+                print(f"# budget reached before {fam} rot {i} "
+                      f"({_elapsed():.0f}s)", file=sys.stderr, flush=True)
+                truncated = True
+                break
+            if fam == "oneshot":
+                if i < N_ROT:
+                    measure_oneshot(i, m)
+            elif fam == "linear":
+                if i < N_ROT:
+                    measure_rot(i, ang, m, fam, state.lin)
+            elif i < N_ROT_CUBIC:
+                measure_rot(i, ang, m, fam, state.cub)
+        if truncated:
+            break
+    state.emit(done=not truncated)
 
 
 if __name__ == "__main__":
