@@ -27,10 +27,15 @@ Wall budget: a global deadline (``BENCH_BUDGET_S`` env, default 1650 s)
 bounds the run.  The three sections are interleaved ROUND-ROBIN per
 rotation (linear i, cubic i, one-shot i, then i+1 ...), so when a cold
 compilation cache eats the budget every family still accumulates evenly —
-a timeout truncates n, never a whole section.  Compiles are served from a
-persistent cache committed to the repository (``.jax_bench_cache/``,
-primed by running this script on the same chip), so the expected driver
-run is warm: measurement only, a few minutes total.
+a timeout truncates n, never a whole section.  Two repo-committed stores
+make the expected driver run warm (measurement only, a few minutes):
+``.bench_aot/`` holds ``jax.export`` blobs of every per-rotation program
+(skipping the dominant 30-90 s/program HOST-side jit trace + Mosaic
+lowering), and ``.jax_bench_cache/`` is the persistent XLA compile cache
+(the deserialized StableHLO is byte-identical across runs, so its keys
+hit).  Both are primed by running this script on the same chip; a code
+change that alters any plan or program self-invalidates the affected
+blobs and the run transparently falls back to live tracing.
 
 Timing method: this environment reaches the TPU through an RPC tunnel where
 ``block_until_ready`` returns before execution finishes and every host
@@ -42,6 +47,8 @@ per-transform device time.  Kernel compilation is excluded, as in the
 baseline (its kernel was compiled once before its timed loop).
 """
 
+import gzip
+import hashlib
 import json
 import os
 import sys
@@ -89,6 +96,117 @@ def _cache_dir():
         return path
     except OSError:
         return "/tmp/voltools_tpu_bench_cache"
+
+
+def _aot_dir():
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(here, ".bench_aot")
+
+
+def _aot(key_parts, build, example_args):
+    """AOT program store: the dominant cost of a fresh measurement is not
+    device compilation (the persistent compile cache covers that) but the
+    HOST-side jit trace + Mosaic lowering of each per-rotation program
+    (~30-90 s each through this rig).  ``jax.export`` blobs committed to
+    the repo skip both: the driver's run deserializes the recorded
+    StableHLO (byte-identical across runs, so the compile cache keys hit)
+    and goes straight to execution.
+
+    Returns a callable.  On a blob miss (or any load failure) the program
+    is built/traced live and the export is saved for the next run; keys
+    include the full plan repr and the jax version, so any code change
+    that alters a plan or program self-invalidates the blob.
+    """
+    import jax
+    from jax import export as jexport
+
+    key = hashlib.sha1(repr(key_parts).encode()).hexdigest()[:20]
+    path = os.path.join(_aot_dir(), key + ".hlo.gz")
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                rt = jexport.deserialize(gzip.decompress(f.read()))
+            return jax.jit(rt.call)
+        except Exception as e:   # stale/corrupt blob: fall through
+            print(f"# aot load failed for {key}: {e!r}; tracing live",
+                  file=sys.stderr, flush=True)
+    fn = build()
+    try:
+        exp = jexport.export(fn)(*example_args)
+        os.makedirs(_aot_dir(), exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(gzip.compress(exp.serialize()))
+        os.replace(tmp, path)
+        # serve THIS run from the just-written blob too: the exported
+        # module's bytes (not the live trace's) are what the next run
+        # compiles, so priming must go through the same path to land the
+        # same persistent-cache key
+        with open(path, "rb") as f:
+            rt = jexport.deserialize(gzip.decompress(f.read()))
+        return jax.jit(rt.call)
+    except Exception as e:
+        print(f"# aot save failed for {key}: {e!r}", file=sys.stderr,
+              flush=True)
+    return fn
+
+
+def _build_tight(plan):
+    """The tight-plan chained-slope program for one rotation: n dependent
+    kernel applications inside one jit (n traced: one compile serves both
+    slope points)."""
+    import jax
+    import jax.numpy as jnp
+
+    from voltools_tpu.kernels.planner import plan_sample_prepared
+
+    @jax.jit
+    def chained(n, p, mat):
+        def body(_, carry):
+            mm, acc = carry
+            out = plan_sample_prepared(p, mm, plan, 0.0)
+            probe = out[0, 0, 0] * jnp.float32(1e-38)
+            return mm + probe, acc + probe
+        mm, acc = jax.lax.fori_loop(0, n, body, (mat, jnp.float32(0.0)))
+        return mm[0, 0] + acc
+
+    return chained
+
+
+def _build_oneshot(plan):
+    """The fused one-shot chained-slope program: payload build + prepare +
+    kernel + un-blocking as ONE device program per iteration."""
+    import jax
+    import jax.numpy as jnp
+
+    from voltools_tpu.kernels.pallas_walk import (_oneshot_runner,
+                                                  _permuter,
+                                                  canonical_walk_variant)
+
+    run = _oneshot_runner(canonical_walk_variant(plan), plan.ps, plan.po,
+                          0.0, False)
+    permute = _permuter(plan.ps, plan.po, plan.xpad, plan.kax)
+    y_lo = jnp.int32(plan.y_lo)
+
+    @jax.jit
+    def chained(n, v, mat, _r=run, _p=permute, _y=y_lo):
+        def body(_, carry):
+            mm, acc = carry
+            out = _r(v, _p(mm, _y))
+            probe = out[0, 0, 0] * jnp.float32(1e-38)
+            return mm + probe, acc + probe
+        mm, acc = jax.lax.fori_loop(0, n, body, (mat, jnp.float32(0.0)))
+        return mm[0, 0] + acc
+
+    return chained
+
+
+def _tight_key(interpolation, plan, jaxv):
+    return ("tight", interpolation, repr(plan), jaxv)
+
+
+def _oneshot_key(plan, jaxv):
+    return ("oneshot", repr(plan), jaxv)
 
 
 class _State:
@@ -141,6 +259,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    _JAXV = jax.__version__
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     jax.config.update("jax_compilation_cache_dir", _cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
@@ -175,38 +295,38 @@ def main():
         # configuration.  The volume is prefiltered once at upload for
         # cubic (reference volume.py:48-50), so the kernel samples
         # coefficients directly either way.
+        t0 = time.perf_counter()
         plan = choose_plan(m, vol.shape, interpolation, "constant",
                            sticky=None)
         if plan is None:   # pragma: no cover - defensive
             return None, "xla"
-        prep = plan_prepare(vol, plan)
-
-        @jax.jit
-        def chained(n, p, mat):
-            # n is traced (dynamic fori trip count): ONE compile per plan
-            # serves both slope points
-            def body(_, carry):
-                mm, acc = carry
-                out = plan_sample_prepared(p, mm, plan, 0.0)
-                probe = out[0, 0, 0] * jnp.float32(1e-38)
-                return mm + probe, acc + probe
-            mm, acc = jax.lax.fori_loop(
-                0, n, body, (mat, jnp.float32(0.0)))
-            return mm[0, 0] + acc
+        t1 = time.perf_counter()
+        prep = jax.block_until_ready(plan_prepare(vol, plan))
+        t2 = time.perf_counter()
 
         mj = jnp.asarray(m, jnp.float32)
-        float(chained(1, prep, mj))
-        float(chained(ITERS, prep, mj))
+        chained = _aot(_tight_key(interpolation, plan, _JAXV),
+                       lambda: _build_tight(plan),
+                       (jnp.int32(1), prep, mj))
+        t3 = time.perf_counter()
+        float(chained(jnp.int32(1), prep, mj))
+        float(chained(jnp.int32(ITERS), prep, mj))
+        t4 = time.perf_counter()
 
         def run(n):
+            nn = jnp.int32(n)
             best = float("inf")
             for _ in range(3):
-                t0 = time.perf_counter()
-                float(chained(n, prep, mj))
-                best = min(best, time.perf_counter() - t0)
+                tr = time.perf_counter()
+                float(chained(nn, prep, mj))
+                best = min(best, time.perf_counter() - tr)
             return best
 
         ms = (run(ITERS) - run(1)) / (ITERS - 1) * 1e3
+        print(f"#   [plan {t1 - t0:.2f}s prep {t2 - t1:.2f}s build "
+              f"{t3 - t2:.2f}s compile {t4 - t3:.2f}s measure "
+              f"{time.perf_counter() - t4:.2f}s]", file=sys.stderr,
+              flush=True)
         return ms, type(plan).__name__
 
     def measure_rot(i, ang, m, interpolation, sink):
@@ -222,49 +342,37 @@ def main():
         """Measured one-shot path (reference cp_transform_out story): tight
         host plan + ONE fused device program (prepare + kernel + unblock),
         device-resident volume, fresh matrix per call."""
-        from voltools_tpu.kernels.pallas_walk import (WalkVariant,
-                                                      _oneshot_runner,
-                                                      _permuter,
-                                                      canonical_walk_variant)
+        from voltools_tpu.kernels.pallas_walk import WalkVariant
         t0 = time.perf_counter()
         plan = choose_plan(m, vol.shape, "linear", "constant",
                            sticky=None)
         t1 = time.perf_counter()
         if isinstance(plan, WalkVariant):
-            run = _oneshot_runner(canonical_walk_variant(plan), plan.ps,
-                                  plan.po, 0.0, False)
-            permute = _permuter(plan.ps, plan.po, plan.xpad, plan.kax)
-            y_lo = jnp.int32(plan.y_lo)
-
-            @jax.jit
-            def chained(n, v, mat, _r=run, _p=permute, _y=y_lo):
-                def body(_, carry):
-                    mm, acc = carry
-                    out = _r(v, _p(mm, _y))
-                    probe = out[0, 0, 0] * jnp.float32(1e-38)
-                    return mm + probe, acc + probe
-                mm, acc = jax.lax.fori_loop(
-                    0, n, body, (mat, jnp.float32(0.0)))
-                return mm[0, 0] + acc
-
             mj = jnp.asarray(m, jnp.float32)
-            float(chained(1, vol, mj))
-            float(chained(ITERS, vol, mj))
+            chained = _aot(_oneshot_key(plan, _JAXV),
+                           lambda: _build_oneshot(plan),
+                           (jnp.int32(1), vol, mj))
+            t2 = time.perf_counter()
+            float(chained(jnp.int32(1), vol, mj))
+            float(chained(jnp.int32(ITERS), vol, mj))
+            t3 = time.perf_counter()
 
             def run_n(n):
+                nn = jnp.int32(n)
                 best = float("inf")
                 for _ in range(3):
-                    t0 = time.perf_counter()
-                    float(chained(n, vol, mj))
-                    best = min(best, time.perf_counter() - t0)
+                    tr = time.perf_counter()
+                    float(chained(nn, vol, mj))
+                    best = min(best, time.perf_counter() - tr)
                 return best
 
             ms = (run_n(ITERS) - run_n(1)) / (ITERS - 1) * 1e3
             state.osf.append(round(ms, 3))
             state.osp.append(round((t1 - t0) * 1e3, 3))
             print(f"# oneshot rot {i}: fused {ms:.2f} ms "
-                  f"+ plan {state.osp[-1]:.2f} ms", file=sys.stderr,
-                  flush=True)
+                  f"+ plan {state.osp[-1]:.2f} ms "
+                  f"[build {t2 - t1:.2f}s compile {t3 - t2:.2f}s]",
+                  file=sys.stderr, flush=True)
         state.emit()
 
     # The three families measure the SAME rotation stream (reference
