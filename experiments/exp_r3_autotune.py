@@ -37,6 +37,12 @@ def main():
     argv = sys.argv[1:]
     k = int(argv[0]) if argv else 3
     idxs = [int(a) for a in argv[1:]] or [3, 12]
+    # round-5: EXP_INTERP=filt_bspline probes the cubic slow class (the
+    # ndx>=6 / ycand=3 rotations run 0.84-0.88x of model vs 0.72-0.76x for
+    # the rest -- a pressure knee the model's ndx^1.5 misses, so the
+    # chooser may be mis-ranking exactly there)
+    import os
+    interp = os.environ.get("EXP_INTERP", "linear")
 
     size = 250
     rng = np.random.default_rng(0)
@@ -84,14 +90,14 @@ def main():
     gains = []
     for i in idxs:
         m = mats[i]
-        cands = pw.choose_walk_variant(m, (size,) * 3, "linear", "constant",
+        cands = pw.choose_walk_variant(m, (size,) * 3, interp, "constant",
                                        topk=k, quantize=False)
         res = []
         for v in cands:
             ms = slope_ms(v, m)
             res.append(ms)
             print(f"rot {i}: {v.ps} {v.po} ({v.vb},{v.wb}) ({v.gu},{v.gv}) "
-                  f"kax={v.kax} hz={v.hz} "
+                  f"kax={v.kax} hz={v.hz} hy={v.hy} ndx={len(v.dxs)} "
                   f"model={pw._variant_cost(v) / 1e6:.2f}ms "
                   f"measured={ms:.2f}ms", flush=True)
         gains.append(res[0] / min(res))
