@@ -41,6 +41,8 @@ def main():
     argv = sys.argv[1:]
     k = int(argv[0]) if argv else 3
     n_rot = int(argv[1]) if len(argv) > 1 else 6
+    import os
+    interp = os.environ.get("EXP_INTERP", "linear")
 
     for size in (50, 100):
         rng = np.random.default_rng(0)   # same stream as exp_r3_small /
@@ -81,7 +83,7 @@ def main():
             m = np.asarray(transform_matrix(
                 rotation=tuple(ang), rotation_order="sxyz", center=center),
                 np.float32)
-            cands = pw.choose_walk_variant(m, (size,) * 3, "linear",
+            cands = pw.choose_walk_variant(m, (size,) * 3, interp,
                                            "constant", topk=k,
                                            quantize=False)
             if not isinstance(cands, list):

@@ -209,3 +209,58 @@ def test_static_volume_profile_blocks_on_async_paths(capsys):
     out = sv.affine(np.eye(4, dtype=np.float32), profile=True,
                     output=donated)
     assert out is res and res.blocked and timed_ms() >= 55.0
+
+
+def test_autotune_auto_policy(monkeypatch):
+    """Default autotune=None measures best-of-3 ONLY for whole-resident
+    walk plans (the <=~120^3 regime where the cost model's error band is
+    measured loose: 50^3 best-of-3 gains mean 16.7%, exp_r5_autotune_small)
+    and stays off for windowed plans (250^3 measured 0.0% gain) and under
+    an explicit autotune=0."""
+    import dataclasses
+
+    import voltools_tpu.kernels.planner as planner_mod
+    import voltools_tpu.transforms as transforms_mod
+    from voltools_tpu.kernels.pallas_walk import choose_walk_variant
+    from voltools_tpu.utils import transform_matrix
+
+    vol = np.random.default_rng(3).random((40, 40, 40)).astype(np.float32)
+    m = np.asarray(transform_matrix(
+        rotation=(33.0, -47.0, 121.0), rotation_order="sxyz",
+        center=tuple(s / 2 for s in vol.shape)), np.float32)
+    plan = choose_walk_variant(m, vol.shape, "linear", "constant")
+    assert plan is not None and plan.whole
+
+    calls = []
+
+    def fake_autotune(volume, matrix, *a, k=0, **kw):
+        calls.append(k)
+        return plan
+
+    monkeypatch.setattr(planner_mod, "autotune_plan", fake_autotune)
+    monkeypatch.setattr(transforms_mod, "select_variant",
+                        lambda *a, **k: plan)
+
+    sv = StaticVolume(vol, device="jax")
+    assert sv._device_sampler(m) is not None
+    assert calls == [3]
+
+    # windowed plan (whole=False): the auto policy must NOT autotune
+    calls.clear()
+    windowed = dataclasses.replace(plan, whole=False)
+    monkeypatch.setattr(transforms_mod, "select_variant",
+                        lambda *a, **k: windowed)
+    sv2 = StaticVolume(vol, device="jax")
+    monkeypatch.setattr(sv2, "_prepared_source", lambda p: None)
+    monkeypatch.setattr(planner_mod, "plan_sampler",
+                        lambda p, cval: (lambda prep, mm: None))
+    assert sv2._device_sampler(m) is not None
+    assert calls == []
+
+    # explicit opt-out beats the auto policy
+    calls.clear()
+    monkeypatch.setattr(transforms_mod, "select_variant",
+                        lambda *a, **k: plan)
+    sv3 = StaticVolume(vol, device="jax", autotune=0)
+    assert sv3._device_sampler(m) is not None
+    assert calls == []

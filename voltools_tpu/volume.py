@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import functools
 import threading
-from typing import Tuple, Union
+from typing import Optional, Tuple, Union
 
 import numpy as np
 
@@ -46,7 +46,8 @@ class StaticVolume:
 
     def __init__(self, data: np.ndarray, interpolation: str = "linear",
                  device: str = "tpu", mode: str = "constant", cval: float = 0.0,
-                 prefilter_boundary: str = "mirror", autotune: int = 0):
+                 prefilter_boundary: str = "mirror",
+                 autotune: Optional[int] = None):
         if data.ndim != 3:
             raise ValueError("Expected a 3D array")
         if interpolation not in AVAILABLE_INTERPOLATIONS:
@@ -67,8 +68,15 @@ class StaticVolume:
         # best-of-K empirical plan autotune (0/1 = off): each NEW plan
         # costs K-1 extra Mosaic compiles + a few measured runs, then the
         # measured-fastest config serves every repeat of that matrix --
-        # worth it for long-lived resident volumes with hot orientations
-        self._autotune = int(autotune)
+        # worth it for long-lived resident volumes with hot orientations.
+        # Default (None) = auto: K=3 for LINEAR whole-resident walk plans
+        # (the <=~120^3 regime, where the cost model's error band is
+        # measured loose -- 50^3 best-of-3 gains mean 16.7%, one rotation
+        # 74%, exp_r5_autotune_small -- and the small kernels compile in
+        # seconds), off for windowed plans (250^3 best-of-3 measured 0.0%
+        # gain on every slow-class rotation: the model pick is already
+        # measured-best there, exp_r3_autotune round 5).
+        self._autotune = autotune if autotune is None else int(autotune)
         self._autotuned = {}
 
         if device == "cpu":
@@ -153,17 +161,33 @@ class StaticVolume:
                               self.mode, self._jdev)
         if plan is None:
             return self._sampler_into if into else self._sampler
-        if self._autotune > 1:
+        tune_k = self._autotune
+        if tune_k is None:
+            # auto policy: measure best-of-3 only where the cost model's
+            # error band is measured loose (whole-resident plans; see the
+            # constructor comment for the hardware tables).  Restricted to
+            # linear until the cubic band is measured: cubic candidates
+            # cost minutes-scale Mosaic compiles each, too much to spend
+            # on an unmeasured regime.
+            tune_k = (3 if (getattr(plan, "whole", False)
+                            and getattr(plan, "order", 0) == 1) else 0)
+        if tune_k > 1:
             from .kernels.planner import autotune_plan, plan_covers
             with self._variant_lock:
                 tuned = self._autotuned.get(plan)
             if tuned is None or not plan_covers(
                     tuned, np.asarray(transform_m, np.float64), self.shape,
                     self.interpolation, self.mode):
-                tuned = autotune_plan(self.data,
-                                      np.asarray(transform_m, np.float32),
-                                      self.interpolation, self.mode,
-                                      self.cval, k=self._autotune)
+                try:
+                    tuned = autotune_plan(self.data,
+                                          np.asarray(transform_m, np.float32),
+                                          self.interpolation, self.mode,
+                                          self.cval, k=tune_k)
+                except Exception:
+                    # best-effort: a candidate that fails to compile/run
+                    # (e.g. a backend without Mosaic) must never break the
+                    # call -- cache and serve the model pick instead
+                    tuned = plan
                 with self._variant_lock:
                     self._autotuned[plan] = tuned
                     if len(self._autotuned) > 96:
