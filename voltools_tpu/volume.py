@@ -165,10 +165,12 @@ class StaticVolume:
         if tune_k is None:
             # auto policy: measure best-of-3 only where the cost model's
             # error band is measured loose (whole-resident plans; see the
-            # constructor comment for the hardware tables).  Restricted to
-            # linear until the cubic band is measured: cubic candidates
-            # cost minutes-scale Mosaic compiles each, too much to spend
-            # on an unmeasured regime.
+            # constructor comment for the hardware tables).  Linear only:
+            # the cubic whole-resident band is measured TIGHT (50^3
+            # best-of-3 mean gain 1.2%, 100^3 0.4% -- EXP_INTERP=
+            # filt_bspline exp_r5_autotune_small, round 5), nowhere near
+            # worth the minutes-scale Mosaic compile per extra cubic
+            # candidate.
             tune_k = (3 if (getattr(plan, "whole", False)
                             and getattr(plan, "order", 0) == 1) else 0)
         if tune_k > 1:
