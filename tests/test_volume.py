@@ -257,6 +257,21 @@ def test_autotune_auto_policy(monkeypatch):
     assert sv2._device_sampler(m) is not None
     assert calls == []
 
+    # cubic whole-resident plan: the gate is linear-only (the cubic band
+    # is measured TIGHT -- 1.2%/0.4% mean gain at 50^3/100^3,
+    # EXP_INTERP=filt_bspline exp_r5_autotune_small -- vs minutes-scale
+    # Mosaic compiles per extra candidate)
+    calls.clear()
+    cubic = dataclasses.replace(plan, order=3)
+    monkeypatch.setattr(transforms_mod, "select_variant",
+                        lambda *a, **k: cubic)
+    sv_c = StaticVolume(vol, interpolation="filt_bspline", device="jax")
+    monkeypatch.setattr(sv_c, "_prepared_source", lambda p: None)
+    monkeypatch.setattr(planner_mod, "plan_sampler",
+                        lambda p, cval: (lambda prep, mm: None))
+    assert sv_c._device_sampler(m) is not None
+    assert calls == []
+
     # explicit opt-out beats the auto policy
     calls.clear()
     monkeypatch.setattr(transforms_mod, "select_variant",
