@@ -55,6 +55,11 @@ def main():
                 ("u2", {"_UNROLL_OVERRIDE": 2}),
                 ("split2", {"_DX_SPLIT": 2}),
                 ("split3", {"_DX_SPLIT": 3})]
+    import os
+    sel = os.environ.get("EXP_VARIANTS")
+    if sel:   # e.g. EXP_VARIANTS=base,u4 — cheap targeted re-probes
+        keep = set(sel.split(","))
+        variants = [v for v in variants if v[0] in keep]
 
     for ri in idxs:
         m = transform_matrix(rotation=tuple(angs[ri]),
