@@ -339,7 +339,6 @@ def _vec_geometry(A, order, xp=np):
     ``xp`` selects the array module: numpy (the host reference path) or
     jax.numpy (the same code traced into the jitted fast chooser).
     """
-    import contextlib
     t_lo, t_hi = (0, 1) if order == 1 else (-1, 2)
     drift = A[..., 2, 0] * np.float32(7.0)
     drift_ok = xp.abs(drift) <= _SLOP_LIMIT
@@ -347,9 +346,12 @@ def _vec_geometry(A, order, xp=np):
     slop_hi = xp.where(drift > 1e-5, xp.ceil(drift + 1e-4), 0.0)
     denom = A[..., 0, :3]
     num = A[..., 1, :3]
-    ctx = (np.errstate(divide="ignore", invalid="ignore") if xp is np
-           else contextlib.nullcontext())
-    with ctx:
+    if xp is np:
+        # masked divide: skips the |denom| < 1e-6 lanes the kok mask
+        # zeroes downstream anyway (and the errstate context they needed)
+        kap_axes = np.divide(num, denom, out=np.zeros_like(num),
+                             where=np.abs(denom) >= 1e-6)
+    else:
         kap_axes = num / denom
     kok = xp.concatenate([xp.ones_like(denom[..., :1], bool),
                           xp.abs(denom) >= 1e-6], axis=-1)
@@ -492,9 +494,12 @@ def _search_tensors(A, tables, order, mode, quantize, xp=np):
                   dx_pad[:, None, None]).astype(np.int32)
     nbw = xw // 128
     # float window-byte check: exact below 2^24 (the budget region), and
-    # overflow-safe for volumes whose int32 byte product would wrap
-    win_bytes = ((_PIPELINE_DEPTH * 4.0) * w0[:, None].astype(ff)
-                 * w1.astype(ff) * xw[:, None].astype(ff))
+    # overflow-safe for volumes whose int32 byte product would wrap.
+    # ``w01x`` is shared with the DMA term below: the regrouping is exact
+    # (f64 products here are integer-valued < 2^53; in f32 the only factor
+    # moved across a rounding step is a power of two)
+    w01x = w0[:, None].astype(ff) * w1.astype(ff) * xw[:, None].astype(ff)
+    win_bytes = (_PIPELINE_DEPTH * 4.0) * w01x
     ok = ok0[..., None] & (hy[..., None] <= w1) & (win_bytes <= _VMEM_BUDGET)
 
     # whole-resident mode: the full prepared volume fits one VMEM slot --
@@ -516,25 +521,28 @@ def _search_tensors(A, tables, order, mode, quantize, xp=np):
     tapf = 1.0 if ntaps == 2 else 1.11
     # the 5.5*ycand floor is the per-plane work that does NOT scale
     # with nbw (dynamic row slices, weight folds) -- calibrated at
-    # nbw=1 from exp_r3_wholecal (50^3/100^3 hardware sweep)
-    per_plane = (2.16 * ycand[..., None].astype(ff) * nd ** 1.5
-                 * tapf * nbw[:, None].astype(ff)
-                 + 5.5 * ycand[..., None].astype(ff))        # ns/vreg/plane
-    per_vreg = (hz_c[:, None, :, None].astype(ff) * per_plane
-                + 30.0)                                   # ns/vreg
-    dma = ((w0[:, None].astype(ff) * w1.astype(ff)
-            * xw[:, None].astype(ff) * 4.0) / guv / 750.0
-           + 300.0 * nbw[:, None].astype(ff) / guv)       # ns/vreg
+    # nbw=1 from exp_r3_wholecal (50^3/100^3 hardware sweep).  The
+    # hoisted ``gath``/``floor_y``/``hzf``/``nbwf`` factors keep the
+    # historical op order exactly (shared between the classic and
+    # whole-mode costs below)
+    ycf = ycand[..., None].astype(ff)
+    gath = 2.16 * ycf * nd ** 1.5 * tapf
+    floor_y = 5.5 * ycf
+    nbwf = nbw[:, None].astype(ff)
+    hzf = hz_c[:, None, :, None].astype(ff)
+    per_plane = gath * nbwf + floor_y                    # ns/vreg/plane
+    per_vreg = hzf * per_plane + 30.0                    # ns/vreg
+    dma = ((w01x * 4.0) / guv / 750.0
+           + 300.0 * nbwf / guv)                         # ns/vreg
     tot = (xp.maximum(per_vreg, dma)
            + 0.25 * xp.minimum(per_vreg, dma))
     cost = xp.where(ok, tot * npad[:, None], np.inf)
 
     # whole-mode cost: same per-vreg compute with nbw=nbww, plus the
     # one-time volume DMA (no overlap term: it's serial at step 0)
-    per_plane_w = (2.16 * ycand[..., None].astype(ff) * nd ** 1.5 * tapf
-                   * nbww[:, None, None, None].astype(ff)
-                   + 5.5 * ycand[..., None].astype(ff))
-    per_vreg_w = hz_c[:, None, :, None].astype(ff) * per_plane_w + 30.0
+    per_plane_w = (gath * nbww[:, None, None, None].astype(ff)
+                   + floor_y)
+    per_vreg_w = hzf * per_plane_w + 30.0
     cost_w = xp.where(
         ok_w[..., None],
         per_vreg_w * npad[:, None]
