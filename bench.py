@@ -280,10 +280,19 @@ def main():
     # reported separately in oneshot_plan_ms).
     _pw._FAST_CHOOSER = False
 
+    # liveness heartbeat: backend init through a remote tunnel can take
+    # 1-2 minutes before the first measurement line; stamp the phases so
+    # a log tail never looks hung
+    print(f"# backend init ({jax.default_backend()}) "
+          f"{_elapsed():.0f}s", file=sys.stderr, flush=True)
+
     size = 250
     rng = np.random.default_rng(0)
     vol = jnp.asarray(rng.random((size,) * 3, dtype=np.float64)
                       .astype(np.float32))
+    vol.block_until_ready()
+    print(f"# volume resident {_elapsed():.0f}s", file=sys.stderr,
+          flush=True)
     center = (size / 2,) * 3   # reference benchmark.py:53
     state = _State(size)
 
