@@ -30,7 +30,7 @@ from .ops.interpolation import AVAILABLE_INTERPOLATIONS
 from .volume import StaticVolume
 from . import ops, utils
 
-__version__ = "0.5.0"
+__version__ = "0.6.0"
 
 __all__ = [
     "transform",

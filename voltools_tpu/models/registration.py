@@ -1,0 +1,355 @@
+"""TPU-native volume registration (beyond the reference's capability set).
+
+The CUDA reference (the-lay/voltools) stops at applying a known transform;
+recovering an *unknown* transform between two volumes — the workflow its
+users (cryo-ET subtomogram alignment) actually run upstream — is out of its
+reach because texture-unit sampling is not differentiable.  This module
+closes that loop with two TPU-first designs:
+
+* :func:`phase_cross_correlation` — global translation estimation via the
+  cross-power spectrum.  FFTs lower to XLA's native TPU FFT; the subpixel
+  refinement is the matrix-multiply upsampled DFT of Guizar-Sicairos,
+  Thurman & Fienup (Opt. Lett. 33, 156 (2008)): three small complex
+  matmuls that land on the MXU instead of a padded-FFT blow-up.
+
+* :func:`register` — gradient-descent registration (translation / rigid /
+  affine) through the library's differentiable sampling core
+  (``ops/sampling.py``).  The whole optimisation — Adam included — is a
+  single ``lax.scan`` program: one compile, zero per-step host dispatch,
+  which is exactly the shape XLA wants (data-independent control flow,
+  static shapes).  Multi-resolution runs one compiled program per pyramid
+  level.
+
+Both entry points are pure functions of jax arrays and are themselves
+jittable / vmappable (e.g. ``vmap(phase_cross_correlation)`` over a batch
+of subtomograms).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.sampling import affine_sample
+from ..utils.matrices import rodrigues_matrix
+
+__all__ = ["phase_cross_correlation", "register", "RegistrationResult",
+           "AVAILABLE_MODELS", "AVAILABLE_LOSSES"]
+
+AVAILABLE_MODELS = ["translation", "rigid", "affine"]
+AVAILABLE_LOSSES = ["mse", "ncc"]
+
+
+# ---------------------------------------------------------------------------
+# phase cross-correlation
+# ---------------------------------------------------------------------------
+
+def _upsampled_region(Rre, Rim, coarse, upsample: int, npoints: int):
+    """Evaluate the correlation surface on an ``npoints``³ grid of spacing
+    ``1/upsample`` centred on the (traced) coarse peak ``coarse``.
+
+    corr(d) = Re Σ_k R[k] · exp(+2πi Σ_ax freq_ax[k_ax] · d_ax) — separable,
+    so each axis contraction is a pair of small (npoints, N_ax) cos/sin
+    matmuls (real f32 → straight onto the MXU; TPU backends need no complex
+    arithmetic here), never materialising an upsampled volume.
+    """
+    offs = (jnp.arange(npoints, dtype=jnp.float32)
+            - (npoints - 1) / 2.0) / float(upsample)
+    re, im = Rre, Rim
+    for ax, n in enumerate(Rre.shape):
+        freqs = jnp.fft.fftfreq(n).astype(jnp.float32)          # cycles/sample
+        d = coarse[ax] + offs                                    # (npoints,)
+        ang = (2.0 * jnp.pi) * jnp.outer(d, freqs)               # (P, N_ax)
+        c, s = jnp.cos(ang), jnp.sin(ang)
+        # contract the current axis 0; result axis goes to the back so after
+        # 3 rounds the original axis order is restored
+        cre = jnp.tensordot(c, re, axes=[[1], [0]])
+        cim = jnp.tensordot(c, im, axes=[[1], [0]])
+        sre = jnp.tensordot(s, re, axes=[[1], [0]])
+        sim = jnp.tensordot(s, im, axes=[[1], [0]])
+        re = jnp.moveaxis(cre - sim, 0, -1)
+        im = jnp.moveaxis(cim + sre, 0, -1)
+    return re, offs
+
+
+def phase_cross_correlation(reference, moving, *, upsample: int = 1,
+                            normalization: str = "phase"):
+    """Estimate the translation that registers ``moving`` onto ``reference``.
+
+    Returns a float32 ``(3,)`` shift ``t`` such that moving the *content* of
+    ``moving`` by ``+t`` voxels along each axis best matches ``reference``
+    (``np.roll(moving, round(t))`` for integer shifts, or
+    ``transform(moving, translation=t)`` with this library's verbs).
+
+    Parameters
+    ----------
+    upsample : int
+        Subpixel refinement factor (1 = integer-voxel estimate).  The
+        refinement is a local matrix-multiply DFT — cost O(P·N) per axis
+        with P ≈ 3·upsample points, independent of the volume size.
+    normalization : 'phase' | None
+        'phase' whitens the cross-power spectrum (classic phase
+        correlation, robust to intensity scaling/offset; exact when the
+        displacement is a true Fourier shift).  None keeps plain
+        cross-correlation weighting — measurably more accurate when the
+        moving volume was produced by *interpolated resampling* of smooth
+        data, where whitening gives full weight to the high frequencies
+        the interpolant distorted.
+
+    Jit/vmap-safe for a fixed ``upsample``.
+    """
+    if normalization not in ("phase", None):
+        raise ValueError("normalization must be 'phase' or None, got "
+                         f"{normalization!r}")
+    upsample = int(upsample)
+    if upsample < 1:
+        raise ValueError(f"upsample must be >= 1, got {upsample}")
+
+    a = jnp.asarray(reference, jnp.float32)
+    b = jnp.asarray(moving, jnp.float32)
+    if a.shape != b.shape or a.ndim != 3:
+        raise ValueError("phase_cross_correlation needs two equally-shaped "
+                         f"3D volumes, got {a.shape} vs {b.shape}")
+
+    A = jnp.fft.fftn(a)
+    B = jnp.fft.fftn(b)
+    # R = A·conj(B), decomposed into real arithmetic (TPU backends have
+    # patchy elementwise-complex support; FFT itself is an XLA native)
+    rre = A.real * B.real + A.imag * B.imag
+    rim = A.imag * B.real - A.real * B.imag
+    if normalization == "phase":
+        mag = jnp.maximum(jnp.sqrt(rre * rre + rim * rim), 1e-12)
+        rre, rim = rre / mag, rim / mag
+
+    corr = jnp.fft.ifftn(lax.complex(rre, rim)).real
+    shape = jnp.asarray(corr.shape)
+    idx = jnp.stack(jnp.unravel_index(jnp.argmax(corr), corr.shape))
+    # wrap to signed displacements: peak at d* means moving ≈ content-shift
+    # of reference by -d*, i.e. apply +d* to moving to register it
+    coarse = jnp.where(idx > shape // 2, idx - shape, idx).astype(jnp.float32)
+    if upsample == 1:
+        return coarse
+
+    npoints = 2 * int(math.ceil(1.5 * upsample)) + 1
+    region, offs = _upsampled_region(rre, rim, coarse, upsample, npoints)
+    fine = jnp.stack(jnp.unravel_index(jnp.argmax(region), region.shape))
+    return coarse + offs[fine]
+
+
+# ---------------------------------------------------------------------------
+# gradient-descent registration
+# ---------------------------------------------------------------------------
+
+class RegistrationResult(NamedTuple):
+    """Outcome of :func:`register`.
+
+    ``matrix`` is the 4x4 pull-back matrix (scipy/reference convention):
+    ``affine_sample(moving, matrix)`` / ``affine(moving, matrix)``
+    reproduces the registered volume.  ``params`` holds the model's raw
+    parameters (``w`` axis-angle radians, ``t`` content-shift voxels,
+    ``linear`` 3x3 for the affine model).  ``loss_history`` has one entry
+    per optimisation step across all pyramid levels.
+    """
+    matrix: np.ndarray
+    params: dict
+    loss_history: np.ndarray
+    model: str
+
+    def apply(self, volume, **kwargs):
+        """Resample ``volume`` through the recovered transform via the
+        library's production dispatcher (kwargs as :func:`~voltools_tpu.affine`)."""
+        from ..transforms import affine
+        return affine(volume, self.matrix, **kwargs)
+
+
+def _theta_size(model: str) -> int:
+    return {"translation": 3, "rigid": 6, "affine": 12}[model]
+
+
+def _theta_to_matrix(theta, model: str, center):
+    """Pull-back 4x4 from the flat parameter vector (all-jnp, differentiable)."""
+    if model == "translation":
+        return jnp.eye(4, dtype=jnp.float32).at[:3, 3].set(-theta)
+    if model == "rigid":
+        w, t = theta[:3], theta[3:]
+        m = rodrigues_matrix(w, center=center)
+        shift = jnp.eye(4, dtype=jnp.float32).at[:3, 3].set(-t)
+        return m @ shift
+    # affine: src = (I + dL) @ (x - c) + c - t
+    dL, t = theta[:9].reshape(3, 3), theta[9:]
+    L = jnp.eye(3, dtype=jnp.float32) + dL
+    c = jnp.asarray(center, jnp.float32)
+    m = jnp.eye(4, dtype=jnp.float32).at[:3, :3].set(L)
+    return m.at[:3, 3].set(c - L @ c - t)
+
+
+def _crop(x, edge: int):
+    return x[edge:x.shape[0] - edge, edge:x.shape[1] - edge,
+             edge:x.shape[2] - edge] if edge else x
+
+
+def _loss_fn(out, target, loss: str):
+    if loss == "mse":
+        d = out - target
+        return jnp.mean(d * d)
+    xm = out - jnp.mean(out)
+    ym = target - jnp.mean(target)
+    denom = jnp.sqrt(jnp.mean(xm * xm) * jnp.mean(ym * ym) + 1e-12)
+    return 1.0 - jnp.mean(xm * ym) / denom
+
+
+@functools.lru_cache(maxsize=64)
+def _level_program(shape: Tuple[int, int, int], model: str,
+                   interpolation: str, loss: str, steps: int, lr: float,
+                   edge: int):
+    """One jitted program: the full Adam loop over ``steps`` for one pyramid
+    level.  lru-cached so repeated same-shape registrations recompile
+    nothing."""
+    center = tuple((s - 1) / 2.0 for s in shape)
+
+    def objective(theta, moving, reference):
+        m = _theta_to_matrix(theta, model, center)
+        out = affine_sample(moving, m, interpolation)
+        return _loss_fn(_crop(out, edge), _crop(reference, edge), loss)
+
+    grad = jax.value_and_grad(objective)
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    def step(carry, i):
+        theta, m, v, moving, reference = carry
+        l, g = grad(theta, moving, reference)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        t = i + 1.0
+        mhat = m / (1 - b1 ** t)
+        vhat = v / (1 - b2 ** t)
+        # cosine decay: Adam's unit-sized steps otherwise orbit the optimum
+        # at ~lr distance forever; decaying to 0 converges tightly
+        lr_i = lr * 0.5 * (1.0 + jnp.cos(jnp.pi * i / steps))
+        theta = theta - lr_i * mhat / (jnp.sqrt(vhat) + eps)
+        return (theta, m, v, moving, reference), l
+
+    def run(moving, reference, theta0):
+        z = jnp.zeros_like(theta0)
+        carry = (theta0, z, z, moving, reference)
+        carry, hist = lax.scan(step, carry,
+                               jnp.arange(steps, dtype=jnp.float32))
+        return carry[0], hist
+
+    return jax.jit(run)
+
+
+def _resize(vol, shape):
+    return jax.image.resize(vol, shape, method="linear")
+
+
+def register(moving, reference, *, model: str = "rigid",
+             interpolation: str = "linear", loss: str = "ncc",
+             steps: int = 200, lr: float = 0.02, levels: int = 1,
+             edge: int = None, init_translation="phase",
+             init_rotation=None, upsample: int = 10) -> RegistrationResult:
+    """Recover the transform aligning ``moving`` onto ``reference``.
+
+    Minimises ``loss`` (``'ncc'`` — intensity-invariant normalised
+    cross-correlation — or ``'mse'``) over the parameters of ``model``
+    (``'translation'`` / ``'rigid'`` / ``'affine'``) by Adam through the
+    differentiable sampling core.  Each pyramid level runs as ONE compiled
+    ``lax.scan`` program (no per-step dispatch).
+
+    Parameters
+    ----------
+    steps, lr : per-level Adam step count / learning rate.  Rotation lives
+        in radians and translation in voxels; Adam's per-parameter scaling
+        absorbs the unit difference.
+    levels : multi-resolution pyramid depth (level ``k`` runs at 1/2^k
+        scale, coarse to fine; translations are rescaled between levels).
+    edge : voxels cropped from every face before the loss (out-of-domain
+        band).  Default: 5% of the smallest dimension (min 1).
+    init_translation : ``'phase'`` (default — seed from
+        :func:`phase_cross_correlation` with ``upsample``), ``None``/zeros,
+        or an explicit 3-vector.
+    init_rotation : optional axis-angle (radians) seed for rigid/affine.
+
+    Returns :class:`RegistrationResult` (pull-back ``matrix`` +
+    ``params`` + per-step ``loss_history``).
+    """
+    if model not in AVAILABLE_MODELS:
+        raise ValueError(f"model must be one of {AVAILABLE_MODELS}, "
+                         f"got {model!r}")
+    if loss not in AVAILABLE_LOSSES:
+        raise ValueError(f"loss must be one of {AVAILABLE_LOSSES}, "
+                         f"got {loss!r}")
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1, got {levels}")
+
+    mov = jnp.asarray(moving, jnp.float32)
+    ref = jnp.asarray(reference, jnp.float32)
+    if mov.shape != ref.shape or mov.ndim != 3:
+        raise ValueError("register needs two equally-shaped 3D volumes, "
+                         f"got {mov.shape} vs {ref.shape}")
+    shape = mov.shape
+    if edge is None:
+        edge = max(1, round(0.05 * min(shape)))
+
+    # --- initial parameters -------------------------------------------------
+    theta = np.zeros(_theta_size(model), np.float32)
+    if isinstance(init_translation, str) and init_translation == "phase":
+        t0 = np.asarray(phase_cross_correlation(ref, mov, upsample=upsample))
+    elif init_translation is None:
+        t0 = np.zeros(3, np.float32)
+    else:
+        t0 = np.asarray(init_translation, np.float32)
+    if model == "translation":
+        theta[:] = t0
+    else:
+        theta[-3:] = t0
+        if init_rotation is not None:
+            w0 = np.asarray(init_rotation, np.float32)
+            if model == "rigid":
+                theta[:3] = w0
+            else:
+                R0 = np.asarray(rodrigues_matrix(jnp.asarray(w0)))[:3, :3]
+                theta[:9] = (R0 - np.eye(3, dtype=np.float32)).ravel()
+
+    # --- coarse-to-fine -----------------------------------------------------
+    histories = []
+    theta = jnp.asarray(theta)
+    for level in range(levels - 1, -1, -1):
+        f = 2 ** level
+        lshape = tuple(max(4, round(s / f)) for s in shape)
+        scale = jnp.asarray([ls / s for ls, s in zip(lshape, shape)],
+                            jnp.float32)
+        if lshape != shape:
+            lmov, lref = _resize(mov, lshape), _resize(ref, lshape)
+            ledge = max(1, round(edge * lshape[0] / shape[0]))
+        else:
+            lmov, lref, ledge = mov, ref, edge
+        # translations live in voxels of the current level
+        theta = theta.at[-3:].multiply(scale)
+        run = _level_program(lshape, model, interpolation, loss,
+                             int(steps), float(lr), int(ledge))
+        theta, hist = run(lmov, lref, theta)
+        theta = theta.at[-3:].divide(scale)
+        histories.append(np.asarray(hist))
+
+    theta_np = np.asarray(theta)
+    center = tuple((s - 1) / 2.0 for s in shape)
+    matrix = np.asarray(_theta_to_matrix(theta, model, center), np.float32)
+
+    if model == "translation":
+        params = {"t": theta_np}
+    elif model == "rigid":
+        params = {"w": theta_np[:3], "t": theta_np[3:]}
+    else:
+        params = {"linear": np.eye(3, dtype=np.float32)
+                  + theta_np[:9].reshape(3, 3), "t": theta_np[9:]}
+    return RegistrationResult(matrix=matrix, params=params,
+                              loss_history=np.concatenate(histories),
+                              model=model)
