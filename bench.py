@@ -75,11 +75,50 @@ ITERS = 8       # chained applications per program
 # 1780 s -> a 1800 s timeout), with headroom for startup and final emit.
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1650"))
 ADMIT = 0.88
-_T0 = time.perf_counter()
+# Epoch-based so accelerator-init re-exec retries (_require_accelerator)
+# share the ORIGINAL start: the wall budget spans all attempts.
+_EPOCH0 = float(os.environ.get("BENCH_EPOCH0", time.time()))
 
 
 def _elapsed():
-    return time.perf_counter() - _T0
+    return time.time() - _EPOCH0
+
+
+def _require_accelerator(jax):
+    """Guard against a remote-TPU plugin registration failure at startup.
+
+    The rig's sitecustomize deliberately swallows axon ``register()``
+    errors (so a transient tunnel failure can't take down every python
+    process); jax then either raises on first backend use or caches a
+    cpu-only backend set for the process lifetime — which would silently
+    measure the benchmark on CPU.  A failed plugin init cannot be retried
+    in-process, so retry by re-exec'ing this script (bounded; original
+    wall clock preserved via BENCH_EPOCH0)."""
+    try:
+        devs = jax.devices()
+        plat = devs[0].platform if devs else "none"
+    except Exception as e:  # total discovery failure
+        devs, plat = [], f"error: {e}"
+    if devs and plat != "cpu":
+        return
+    tries = int(os.environ.get("BENCH_INIT_TRY", "0"))
+    max_tries = int(os.environ.get("BENCH_INIT_MAX_TRIES", "4"))
+    if tries >= max_tries or _elapsed() > 0.25 * BUDGET_S:
+        print(f"# accelerator init failed after {tries} retries "
+              f"(platform={plat}); continuing on CPU", file=sys.stderr,
+              flush=True)
+        return
+    wait = 45.0
+    print(f"# no accelerator backend (platform={plat}); re-exec retry "
+          f"{tries + 1}/{max_tries} in {wait:.0f}s ({_elapsed():.0f}s)",
+          file=sys.stderr, flush=True)
+    time.sleep(wait)
+    env = dict(os.environ)
+    env["BENCH_INIT_TRY"] = str(tries + 1)
+    env["BENCH_EPOCH0"] = repr(_EPOCH0)
+    os.execve(sys.executable,
+              [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+              env)
 
 
 def _cache_dir():
@@ -259,6 +298,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    _require_accelerator(jax)
     _JAXV = jax.__version__
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

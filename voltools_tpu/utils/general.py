@@ -33,8 +33,9 @@ def get_available_devices():
     try:
         jax = _jax()
         jax_devices = jax.devices()
-    except Exception:  # pragma: no cover - no usable jax backend at all
-        print("Warning: no usable JAX backend found; only 'cpu' is available.")
+    except Exception as e:  # pragma: no cover - no usable jax backend at all
+        print("Warning: no usable JAX backend found "
+              f"({type(e).__name__}: {e}); only 'cpu' is available.")
         return devices
 
     devices.append("jax")
