@@ -161,12 +161,21 @@ def _aot(key_parts, build, example_args):
 
     key = hashlib.sha1(repr(key_parts).encode()).hexdigest()[:20]
     path = os.path.join(_aot_dir(), key + ".hlo.gz")
+    plat = jax.devices()[0].platform
     if os.path.exists(path):
         try:
             with open(path, "rb") as f:
                 rt = jexport.deserialize(gzip.decompress(f.read()))
+            # a blob exported for another backend deserializes fine but
+            # raises at its first CALL (outside any try) — e.g. the
+            # committed TPU blobs during the documented continue-on-CPU
+            # fallback.  Filenames must stay platform-free (the primed
+            # store is committed), so gate here instead of in the key.
+            if plat not in getattr(rt, "platforms", (plat,)):
+                raise ValueError(f"blob platforms {rt.platforms} do not "
+                                 f"include live backend {plat!r}")
             return jax.jit(rt.call)
-        except Exception as e:   # stale/corrupt blob: fall through
+        except Exception as e:   # stale/corrupt/foreign blob: fall through
             print(f"# aot load failed for {key}: {e!r}; tracing live",
                   file=sys.stderr, flush=True)
     fn = build()

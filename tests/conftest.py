@@ -121,6 +121,18 @@ _SLOW_NODEIDS = {
 
 
 def pytest_collection_modifyitems(config, items):
+    seen = set()
     for item in items:
         if item.nodeid in _SLOW_NODEIDS:
             item.add_marker(pytest.mark.slow)
+            seen.add(item.nodeid)
+    # drift guard: a renamed test or reordered parametrize would silently
+    # un-mark a heavy test and break the quick-run budget with no signal.
+    # Only checked on full-directory collection (path-restricted runs like
+    # `pytest tests/test_walk.py` legitimately collect a subset).
+    roots = {item.nodeid.split("::", 1)[0] for item in items}
+    if roots.issuperset(n.split("::", 1)[0] for n in _SLOW_NODEIDS):
+        missing = _SLOW_NODEIDS - seen
+        assert not missing, (
+            f"_SLOW_NODEIDS entries no longer match any collected test "
+            f"(renamed or re-parametrized?): {sorted(missing)}")

@@ -201,3 +201,19 @@ def test_register_validation():
         register(v, v, levels=0)
     with pytest.raises(ValueError):
         register(v, np.zeros((8, 8, 9), np.float32))
+    # an edge crop that leaves no voxels would make the loss NaN silently
+    with pytest.raises(ValueError, match="edge"):
+        register(v, v, model="translation", edge=4)
+
+
+def test_register_coarse_level_edge_clamped():
+    """A full-resolution-valid edge must survive pyramid downscaling: at a
+    coarse level the rounded edge could otherwise empty the crop and NaN
+    the whole level's loss."""
+    v = _smooth((32, 12, 12), seed=5)
+    # edge=5 is valid at full res (2*5 < 12); at level 2 the z-rounded
+    # edge round(5*8/32)=1 is fine but lshape=(8,4,4) demands clamping
+    # against min(lshape)=4 for any larger rounding
+    res = register(v, v, model="translation", edge=5, levels=3, steps=2,
+                   init_translation=None)
+    assert np.isfinite(np.asarray(res.loss_history)).all()

@@ -672,7 +672,10 @@ def _accelerator_backend_live() -> bool:
     one); conservatively True if the registry is unreadable."""
     try:
         from jax._src import xla_bridge as xb
-        return any(p != "cpu" for p in getattr(xb, "_backends", {}))
+        # no getattr default: if a jax release renames _backends the
+        # AttributeError must land in the conservative branch below, not
+        # read as "no accelerator" and cut the teardown grace period
+        return any(p != "cpu" for p in xb._backends)
     except Exception:  # pragma: no cover - private-API drift
         return True
 
@@ -1837,8 +1840,11 @@ def affine_sample_pallas_walk(volume, matrix, v: WalkVariant,
 # stages (which share Mosaic binaries across permutations).  The dict holds
 # strong references to the admitted samplers (so _oneshot_runner's LRU
 # churning -- e.g. direct benchmark use -- can never strand an admitted key
-# without its runner), and a key is only admitted once its program has run
-# successfully: a failed first call releases the slot.
+# without its runner).  Keys are admitted at insert; a call failure
+# releases the slot AND permanently degrades that sampler closure to the
+# eager stages -- callers cache the closure (transforms._jitted_affine), so
+# a released slot must never leave a live fused program behind it or the
+# population could exceed the cap.
 _ONESHOT_CAP = 8
 _ONESHOT_RUNNERS: dict = {}
 
@@ -1908,19 +1914,50 @@ def oneshot_walk_sampler(v: WalkVariant, cval: float, prefilter: bool):
             _ONESHOT_RUNNERS[key] = run
     permute = _permuter(v.ps, v.po, v.xpad, v.kax)
     y_lo = jnp.int32(v.y_lo)
+    state: dict = {}
 
     def sample(volume, matrix):
+        fallback = state.get("fallback")
+        if fallback is not None:
+            return fallback(volume, matrix)
         try:
             return run(volume, permute(matrix, y_lo))
         except Exception:
             # a program that cannot compile/execute must not hold a cap
-            # slot forever; release it so future keys can still be admitted
+            # slot forever; release it so future keys can still be
+            # admitted.  Callers cache this closure, so it must also stop
+            # running the fused program (the slot is gone): retries go
+            # through the eagerly-composed stages instead.
             with _CANON_LOCK:
                 if _ONESHOT_RUNNERS.get(key) is run:
                     del _ONESHOT_RUNNERS[key]
+            state["fallback"] = _eager_walk_sampler(v, cval, prefilter)
             raise
 
     return sample
+
+
+def _eager_walk_sampler(v: WalkVariant, cval: float, prefilter: bool):
+    """Composed (non-fused) one-shot chain: independently-jitted prefilter /
+    prepare / kernel / unblock stages sharing Mosaic binaries across
+    permutations.  Used when the fused population cap is reached and as the
+    permanent retry path after a fused program fails."""
+    import jax
+
+    from .planner import plan_prepare, plan_sampler
+
+    pre = None
+    if prefilter:
+        from ..ops.prefilter import bspline_prefilter
+        pre = jax.jit(bspline_prefilter)
+    sample_stage = plan_sampler(v, cval)
+
+    def run_walk(volume, matrix):
+        if pre is not None:
+            volume = pre(volume)
+        return sample_stage(plan_prepare(volume, v), matrix)
+
+    return run_walk
 
 
 @functools.lru_cache(maxsize=128)

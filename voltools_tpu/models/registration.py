@@ -297,6 +297,11 @@ def register(moving, reference, *, model: str = "rigid",
     shape = mov.shape
     if edge is None:
         edge = max(1, round(0.05 * min(shape)))
+    if 2 * edge >= min(shape):
+        # an empty crop makes the loss a mean over zero voxels: NaN history
+        # and garbage parameters with no signal
+        raise ValueError(f"edge={edge} leaves no voxels to compare: need "
+                         f"2*edge < min(shape)={min(shape)}")
 
     # --- initial parameters -------------------------------------------------
     theta = np.zeros(_theta_size(model), np.float32)
@@ -328,7 +333,10 @@ def register(moving, reference, *, model: str = "rigid",
                             jnp.float32)
         if lshape != shape:
             lmov, lref = _resize(mov, lshape), _resize(ref, lshape)
-            ledge = max(1, round(edge * lshape[0] / shape[0]))
+            # clamp so coarse-level rounding can never empty the crop even
+            # when the full-resolution edge was valid
+            ledge = min(max(1, round(edge * lshape[0] / shape[0])),
+                        (min(lshape) - 1) // 2)
         else:
             lmov, lref, ledge = mov, ref, edge
         # translations live in voxels of the current level

@@ -143,7 +143,8 @@ def _jitted_affine(interpolation: str, mode: str, cval: float,
         # sticky-fit sweep rotating through permutations falls back to the
         # eagerly-composed stages below, which share one Mosaic binary per
         # canonical form across permutations.
-        from .kernels.pallas_walk import oneshot_walk_sampler
+        from .kernels.pallas_walk import (_eager_walk_sampler,
+                                          oneshot_walk_sampler)
         fused = oneshot_walk_sampler(variant, cval,
                                      needs_prefilter(interpolation))
         if fused is not None:
@@ -151,18 +152,8 @@ def _jitted_affine(interpolation: str, mode: str, cval: float,
         # eager composition of independently-cached jitted stages: the
         # expensive Mosaic binary is shared by every variant with the same
         # canonical form, so angle sweeps don't recompile per orientation
-        from .kernels.planner import plan_prepare, plan_sampler
-        from .ops.prefilter import bspline_prefilter
-        pre = (jax.jit(bspline_prefilter)
-               if needs_prefilter(interpolation) else None)
-        sample = plan_sampler(variant, cval)
-
-        def run_walk(volume, matrix):
-            if pre is not None:
-                volume = pre(volume)
-            return sample(plan_prepare(volume, variant), matrix)
-
-        return run_walk
+        return _eager_walk_sampler(variant, cval,
+                                   needs_prefilter(interpolation))
 
     def run(volume, matrix):
         if variant is not None:

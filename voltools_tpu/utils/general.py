@@ -53,8 +53,7 @@ def _is_tpu_platform(platform: str) -> bool:
     the generic accelerator alias there is ``'jax'``.  Remote-TPU plugins
     (e.g. this rig's tunnel) report ``platform == 'tpu'`` too; experimental
     ones that embed 'tpu' in the name are also accepted."""
-    p = platform.lower()
-    return p == "tpu" or "tpu" in p
+    return "tpu" in platform.lower()
 
 
 def resolve_device(device: str):
