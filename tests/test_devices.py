@@ -103,3 +103,22 @@ def test_registry_lists_tpu_family(monkeypatch):
     devs = general.get_available_devices()
     assert "tpu" in devs and "tpu:0" in devs and "tpu:1" in devs
     assert general.resolve_device("tpu:1") is chips[1]
+
+
+def test_out_of_range_ordinal_is_valueerror(monkeypatch):
+    """Regression: 'tpu:8' on a 2-chip host raised a bare IndexError
+    instead of the ValueError contract of the device registry."""
+    import jax
+    import pytest
+
+    from voltools_tpu.utils import general
+
+    class FakeTpu:
+        def __init__(self, i):
+            self.platform = "tpu"
+            self.id = i
+
+    monkeypatch.setattr(jax, "devices",
+                        lambda *a, **k: [FakeTpu(0), FakeTpu(1)])
+    with pytest.raises(ValueError, match="tpu:0..tpu:1"):
+        general.resolve_device("tpu:8")

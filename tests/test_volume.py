@@ -279,3 +279,50 @@ def test_autotune_auto_policy(monkeypatch):
     sv3 = StaticVolume(vol, device="jax", autotune=0)
     assert sv3._device_sampler(m) is not None
     assert calls == []
+
+
+def test_output_shape_mismatch_raises(small_volume):
+    """Regression: np.copyto used to silently *broadcast* a wrong-shaped
+    user buffer (e.g. an (N,D,H,W) stack) instead of raising like the
+    scipy CPU path does."""
+    sv = StaticVolume(small_volume, device="jax")
+    m = rotation_matrix((5.0, 0.0, 0.0), "deg", "rzxz")
+    stack_buf = np.empty((2,) + small_volume.shape, np.float32)
+    with pytest.raises(ValueError, match="output shape"):
+        sv.affine(m, output=stack_buf)
+    with pytest.raises(ValueError, match="output shape"):
+        vt.affine(small_volume, m, device="jax", output=stack_buf)
+    ms = np.stack([m, m])
+    wrong_stack = np.empty((3,) + small_volume.shape, np.float32)
+    with pytest.raises(ValueError, match="output shape"):
+        sv.affine_batch(ms, output=wrong_stack)
+
+
+def test_cpu_prefilter_boundary_honored(small_volume):
+    """Regression: the CPU path ignored prefilter_boundary (always scipy
+    'mirror'); it must honor clamp and validate the value like the device
+    path."""
+    from scipy.ndimage import spline_filter
+    sv_clamp = StaticVolume(small_volume, interpolation="filt_bspline",
+                            device="cpu", prefilter_boundary="clamp")
+    expected = spline_filter(small_volume, order=3, mode="nearest",
+                             output=np.float32)
+    np.testing.assert_allclose(sv_clamp.data, expected, atol=1e-6)
+    with pytest.raises(ValueError, match="prefilter_boundary"):
+        StaticVolume(small_volume, interpolation="filt_bspline",
+                     device="cpu", prefilter_boundary="clmap")
+    with pytest.raises(ValueError, match="prefilter_boundary"):
+        StaticVolume(small_volume, interpolation="filt_bspline",
+                     device="jax", prefilter_boundary="clmap")
+
+
+def test_numpy_scalar_coefficients(small_volume):
+    """Regression: np.float32 scalars skipped the scalar->triple expansion
+    (isinstance(np.float32(2), float) is False) and crashed downstream."""
+    sv = StaticVolume(small_volume, device="jax")
+    got = sv.scale(np.float32(1.5))
+    expected = sv.scale(1.5)
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+    got = vt.scale(small_volume, np.float32(1.5), device="jax")
+    np.testing.assert_allclose(got, vt.scale(small_volume, 1.5, device="jax"),
+                               atol=1e-6)

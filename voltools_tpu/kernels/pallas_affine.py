@@ -11,7 +11,8 @@ well:
   full x extent) is DMA'd HBM->VMEM — a contiguous 3-D box copy;
 * the x-coordinate is resolved with ``tpu.dynamic_gather`` along lanes
   (range 128, the one fast per-element gather TPUs have), with a small set
-  of extra "slop" taps because x may drift by +-1 across the 8 sublanes;
+  of extra "slop" taps because x may drift across the 8 sublanes (up to
+  ``_SUB_DRIFT_LIMIT`` voxels; the gather range widens to cover it);
 * the (r0, r1) row pair is resolved with within-vreg sublane gathers plus a
   select-tree over the window's row-vregs;
 * interpolation weights and boundary masks run on the VPU as ordinary
@@ -20,7 +21,8 @@ well:
 Because per-tile windows must stay small (<=128 rows) the kernel requires
 the transform to be *axis-dominant*: some relabeling of source and output
 axes under which each output tile touches a bounded source slab.  The host
-(:func:`choose_variant`) scores all 18 axis assignments against the actual
+(:func:`choose_variant`) scores all 36 (source-perm x output-perm) axis
+assignments against the actual
 matrix and picks one; matrices outside the regime (e.g. large fully-3D
 rotations) return ``None`` and the caller falls back to the XLA path.
 Translations, scales, shears, and single-axis rotations of any angle always
@@ -347,10 +349,12 @@ def _make_kernel(v: Variant, cval: float, batch: int = 0):
         y0 = y0f.astype(jnp.int32)
         x0 = x0f.astype(jnp.int32)
 
-        # x base shared across sublanes (drift <= +-1 by variant constraint)
+        # x base shared across sublanes; the per-sublane offset dxneed is
+        # bounded by the chooser's drift limit (|drift| <= _SUB_DRIFT_LIMIT,
+        # covered by the slop-widened gather range), NOT by +-1
         xb_row = a[2, 0] * gp + a[2, 1] * sbase + a[2, 2] * lp + a[2, 3]
         xb = jnp.floor(xb_row).astype(jnp.int32)
-        dxneed = x0 - xb  # in {-1, 0, 1}
+        dxneed = x0 - xb
 
         if order == 1:
             wz = (1.0 - fz, fz)

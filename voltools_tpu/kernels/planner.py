@@ -166,6 +166,30 @@ def plan_prepare(volume, plan: Plan):
     return volume
 
 
+def prepared_source(volume, plan: Plan, cache: dict, lock=None):
+    """Cached prepared HBM source layout for ``plan`` over a resident
+    ``volume``: pays the transpose/pad/stack once per layout key.  Shared
+    by StaticVolume and TiltSeriesProjector so the caching (and its
+    thread-safety, when a ``lock`` is supplied) lives in one place."""
+    import jax
+    key = plan_layout_key(plan)
+    if key is None:
+        return volume
+    if lock is not None:
+        with lock:
+            prep = cache.get(key)
+    else:
+        prep = cache.get(key)
+    if prep is None:
+        prep = jax.jit(lambda vol: plan_prepare(vol, plan))(volume)
+        if lock is not None:
+            with lock:
+                prep = cache.setdefault(key, prep)
+        else:
+            prep = cache.setdefault(key, prep)
+    return prep
+
+
 def plan_sample_prepared(prepared, matrix, plan: Plan, cval: float = 0.0):
     """Run the plan's kernel on a prepared source layout."""
     if isinstance(plan, WalkVariant):

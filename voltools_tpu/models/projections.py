@@ -69,22 +69,16 @@ class TiltSeriesProjector:
             jax.vmap(project_one, in_axes=(None, 0)))
         self._variant_projectors = {}
         self._prepared_layouts = {}
+        import threading
+        self._layout_lock = threading.RLock()
         self._interpret = False   # test hook: run kernels interpreted
 
     def _prepared_source(self, plan):
         """The plan's prepared HBM source layout, cached per layout key (the
         resident volume pays the transpose/pad/stack once per layout)."""
-        import jax
-
-        from ..kernels.planner import plan_layout_key, plan_prepare
-        key = plan_layout_key(plan)
-        if key is None:
-            return self.data
-        prep = self._prepared_layouts.get(key)
-        if prep is None:
-            prep = jax.jit(lambda vol: plan_prepare(vol, plan))(self.data)
-            self._prepared_layouts[key] = prep
-        return prep
+        from ..kernels.planner import prepared_source
+        return prepared_source(self.data, plan, self._prepared_layouts,
+                               self._layout_lock)
 
     def _projector_for(self, ms_np):
         """Batched kernel fast path when an envelope plan covers the sweep.
@@ -119,18 +113,18 @@ class TiltSeriesProjector:
                                                interpret=self._interpret)
             reduce_ = jax.jit(lambda x: jnp.sum(x, axis=axis + 1))
 
-            def cached(vol, ms, _env=env, _batch=batch, _reduce=reduce_):
+            def cached(vol, ms, plans, _env=env, _batch=batch,
+                       _reduce=reduce_):
                 del vol  # the prepared layout stands in for the volume
-                plans = [planner.fit_payload(_env, m, self.shape,
-                                             self.interpolation, self._mode)
-                         for m in ms]
                 payloads = jnp.stack([planner.plan_payload(m, p)
                                       for m, p in zip(ms, plans)])
                 prepared = self._prepared_source(_env)
                 return _reduce(_batch(prepared, payloads))
 
             self._variant_projectors[key] = cached
-        return cached
+        # hand the already-validated fits to the closure so each sweep pays
+        # the per-matrix host planning once, not twice
+        return lambda vol, ms, _c=cached, _plans=fits: _c(vol, ms, _plans)
 
     def tilt_matrices(self, angles_deg: Sequence[float],
                       tilt_axis: int = 1) -> np.ndarray:

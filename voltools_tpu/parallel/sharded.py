@@ -90,6 +90,32 @@ def halo_for_matrix(shape, matrix, interpolation: str = "linear") -> Optional[in
     return halo
 
 
+def _exchange_halo(vol_shard, halo: int, axis: str, n: int, edge: str):
+    """Ring-exchange ``halo`` planes with both mesh neighbours over ICI and
+    patch the two GLOBAL edges with the boundary extension a single-chip
+    kernel would see: ``edge='zero'`` (mode='border' -- out-of-range taps
+    contribute nothing) or ``edge='mirror'`` (scipy-'constant' samplers and
+    the prefilter's ``_fir_matrix``).  Returns the slab extended by ``halo``
+    planes on each side.  Shared by the local-transform samplers and the
+    sharded prefilter so the boundary semantics live in exactly one place."""
+    import jax
+    import jax.numpy as jnp
+    idx = jax.lax.axis_index(axis)
+    up = jax.lax.ppermute(vol_shard[-halo:], axis,      # from lower neighbour
+                          [(i, (i + 1) % n) for i in range(n)])
+    down = jax.lax.ppermute(vol_shard[:halo], axis,     # from upper neighbour
+                            [(i, (i - 1) % n) for i in range(n)])
+    if edge == "zero":
+        bottom_ext = jnp.zeros_like(up)
+        top_ext = jnp.zeros_like(down)
+    else:
+        bottom_ext = jnp.flip(vol_shard[1:halo + 1], 0)
+        top_ext = jnp.flip(vol_shard[-halo - 1:-1], 0)
+    up = jnp.where(idx == 0, bottom_ext, up)
+    down = jnp.where(idx == n - 1, top_ext, down)
+    return jnp.concatenate([up, vol_shard, down], axis=0)
+
+
 def _partial_sample_pertap(slab, coords, z0, true_shape,
                            interpolation: str, mode: str):
     """This z-slab's contribution to a whole-volume interpolation sample.
@@ -293,17 +319,8 @@ class ShardedVolume:
             jnp.float32)
 
         def body(local_vol):
-            idx = jax.lax.axis_index(axis)
-            up = jax.lax.ppermute(local_vol[-k:], axis,
-                                  [(i, (i + 1) % n) for i in range(n)])
-            down = jax.lax.ppermute(local_vol[:k], axis,
-                                    [(i, (i - 1) % n) for i in range(n)])
             # mirror extension at the global edges (matches _fir_matrix)
-            bottom_ext = jnp.flip(local_vol[1:k + 1], 0)
-            top_ext = jnp.flip(local_vol[-k - 1:-1], 0)
-            up = jnp.where(idx == 0, bottom_ext, up)
-            down = jnp.where(idx == n - 1, top_ext, down)
-            ext = jnp.concatenate([up, local_vol, down], axis=0)
+            ext = _exchange_halo(local_vol, k, axis, n, edge="mirror")
             loc = local_vol.shape[0]
             out = sum(taps[t] * jax.lax.dynamic_slice_in_dim(ext, t, loc, 0)
                       for t in range(2 * k + 1))
@@ -461,21 +478,9 @@ class ShardedVolume:
                 # sharded axis in the GLOBAL frame (the kernel's own
                 # inside test sees only the extended-slab frame)
                 idx = jax.lax.axis_index(axis)
-                up = jax.lax.ppermute(
-                    vol_shard[-halo:], axis,
-                    [(i, (i + 1) % n) for i in range(n)])
-                down = jax.lax.ppermute(
-                    vol_shard[:halo], axis,
-                    [(i, (i - 1) % n) for i in range(n)])
-                if mode == "border":
-                    bottom_ext = jnp.zeros_like(up)
-                    top_ext = jnp.zeros_like(down)
-                else:
-                    bottom_ext = jnp.flip(vol_shard[1:halo + 1], 0)
-                    top_ext = jnp.flip(vol_shard[-halo - 1:-1], 0)
-                up = jnp.where(idx == 0, bottom_ext, up)
-                down = jnp.where(idx == n - 1, top_ext, down)
-                ext = jnp.concatenate([up, vol_shard, down], axis=0)
+                ext = _exchange_halo(vol_shard, halo, axis, n,
+                                     edge="zero" if mode == "border"
+                                     else "mirror")
 
                 start = (idx * local).astype(jnp.float32)
                 # exact f32 shift composition (a jnp matmul would run at
@@ -509,25 +514,9 @@ class ShardedVolume:
                 # local transform: exchange `halo` planes with the ring
                 # neighbours over ICI, then sample from the extended slab
                 idx = jax.lax.axis_index(axis)
-                up = jax.lax.ppermute(          # from the lower neighbour
-                    vol_shard[-halo:], axis,
-                    [(i, (i + 1) % n) for i in range(n)])
-                down = jax.lax.ppermute(        # from the upper neighbour
-                    vol_shard[:halo], axis,
-                    [(i, (i - 1) % n) for i in range(n)])
-                # at the global edges the ring wraps around; replace the
-                # wrapped planes with the boundary extension the single-chip
-                # kernel would see: mirror for scipy-'constant', zeros for
-                # 'border' (out-of-range taps contribute nothing there)
-                if mode == "border":
-                    bottom_ext = jnp.zeros_like(up)
-                    top_ext = jnp.zeros_like(down)
-                else:
-                    bottom_ext = jnp.flip(vol_shard[1:halo + 1], 0)
-                    top_ext = jnp.flip(vol_shard[-halo - 1:-1], 0)
-                up = jnp.where(idx == 0, bottom_ext, up)
-                down = jnp.where(idx == n - 1, top_ext, down)
-                ext = jnp.concatenate([up, vol_shard, down], axis=0)
+                ext = _exchange_halo(vol_shard, halo, axis, n,
+                                     edge="zero" if mode == "border"
+                                     else "mirror")
 
                 # source coordinates in the global frame (out voxel z offset
                 # by this chip's slab start)

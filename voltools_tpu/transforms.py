@@ -28,6 +28,7 @@ reference's caller-provided GPU output buffer.
 from __future__ import annotations
 
 import functools
+import numbers
 import threading
 from typing import Tuple, Union
 
@@ -64,7 +65,10 @@ def __getattr__(name):
 
 
 def _as_triple(value):
-    if isinstance(value, (int, float)):
+    # numbers.Number catches numpy scalars (np.float32(2.0) is not a
+    # Python float, so a bare isinstance(int, float) check would skip
+    # the expansion and crash later in the matrix builders)
+    if isinstance(value, numbers.Number):
         return (float(value),) * 3
     return value
 
@@ -72,6 +76,14 @@ def _as_triple(value):
 def _finish(result_np, output):
     if output is None:
         return result_np
+    # exact-shape check: np.copyto would happily *broadcast* a result
+    # into a wrong-shaped buffer (e.g. a (N,D,H,W) stack buffer),
+    # silently replicating one transform into every slice.  The scipy
+    # CPU path raises for a shape mismatch; the device path must too.
+    if tuple(output.shape) != tuple(result_np.shape):
+        raise ValueError(
+            f"output shape {tuple(output.shape)} does not match result "
+            f"shape {tuple(result_np.shape)}")
     np.copyto(output, result_np)
     return None
 

@@ -16,6 +16,7 @@ TPU-native replacements for the reference's CUDA device/launch utilities
 from __future__ import annotations
 
 import time
+import warnings
 from typing import Tuple
 
 import numpy as np
@@ -34,8 +35,9 @@ def get_available_devices():
         jax = _jax()
         jax_devices = jax.devices()
     except Exception as e:  # pragma: no cover - no usable jax backend at all
-        print("Warning: no usable JAX backend found "
-              f"({type(e).__name__}: {e}); only 'cpu' is available.")
+        warnings.warn("no usable JAX backend found "
+                      f"({type(e).__name__}: {e}); only 'cpu' is available.",
+                      RuntimeWarning, stacklevel=2)
         return devices
 
     devices.append("jax")
@@ -68,6 +70,10 @@ def resolve_device(device: str):
         if not _is_tpu_platform(jax_devices[0].platform):
             raise ValueError("No TPU backend available; use device='cpu' or 'jax'")
         idx = int(device[4:]) if len(device) > 4 else 0
+        if not 0 <= idx < len(jax_devices):
+            raise ValueError(
+                f"Unknown device ({device!r}): only {len(jax_devices)} TPU "
+                f"device(s) present (tpu:0..tpu:{len(jax_devices) - 1})")
         return jax_devices[idx]
     raise ValueError(f"Unknown device string: {device!r}")
 

@@ -25,10 +25,9 @@ from typing import Optional, Tuple, Union
 import numpy as np
 
 from .ops.interpolation import AVAILABLE_INTERPOLATIONS, MODES, needs_prefilter
-from .transforms import _as_triple, affine as _affine_fn
+from .transforms import _as_triple, _devices, _finish, affine as _affine_fn
 from .utils import (
     ProfileTimer,
-    get_available_devices,
     resolve_device,
     rotation_matrix,
     scale_matrix,
@@ -55,7 +54,14 @@ class StaticVolume:
                 f"Interpolation must be one of {AVAILABLE_INTERPOLATIONS}")
         if mode not in MODES:
             raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
-        available = get_available_devices()
+        from .ops.prefilter import BOUNDARIES
+        if prefilter_boundary not in BOUNDARIES:
+            raise ValueError(
+                f"prefilter_boundary must be one of {BOUNDARIES}, "
+                f"got {prefilter_boundary!r}")
+        # lru-cached registry: repeated constructions don't re-probe the
+        # backend (and a broken-backend warning fires once, not per volume)
+        available = _devices()
         if device not in available:
             raise ValueError(
                 f"Unknown device ({device}), must be one of {available}")
@@ -85,7 +91,11 @@ class StaticVolume:
             # every call) — subsequent calls sample the coefficients directly
             if needs_prefilter(interpolation):
                 from scipy.ndimage import spline_filter
-                self.data = spline_filter(data, order=3, mode="mirror",
+                # honor prefilter_boundary on CPU exactly as the device
+                # path does: 'clamp' (edge replicate) is scipy 'nearest'
+                scipy_mode = {"mirror": "mirror", "clamp": "nearest"}[
+                    prefilter_boundary]
+                self.data = spline_filter(data, order=3, mode=scipy_mode,
                                           output=np.float32)
                 self._cpu_interp = ("bspline" if interpolation == "filt_bspline"
                                     else "bspline_simple")
@@ -136,18 +146,9 @@ class StaticVolume:
     def _prepared_source(self, plan):
         """The plan's prepared HBM source layout, cached per layout key so
         resident sweeps pay the transpose/pad/stack once, not per angle."""
-        import jax
-        from .kernels.planner import plan_layout_key, plan_prepare
-        key = plan_layout_key(plan)
-        if key is None:
-            return self.data
-        with self._variant_lock:
-            prep = self._walk_layouts.get(key)
-        if prep is None:
-            prep = jax.jit(lambda vol: plan_prepare(vol, plan))(self.data)
-            with self._variant_lock:
-                prep = self._walk_layouts.setdefault(key, prep)
-        return prep
+        from .kernels.planner import prepared_source
+        return prepared_source(self.data, plan, self._walk_layouts,
+                               self._variant_lock)
 
     def _device_sampler(self, transform_m, into: bool = False):
         """Pick the pallas fast path when the matrix qualifies (the data is
@@ -412,10 +413,7 @@ class StaticVolume:
         finally:
             if timer:
                 timer.__exit__(None, None, None)
-        if output is None:
-            return np.asarray(result)
-        np.copyto(output, np.asarray(result))
-        return None
+        return _finish(np.asarray(result), output)
 
     # keep the device output stack under ~2 GB so big sweeps don't exhaust HBM
     _BATCH_BYTES_BUDGET = 2 << 30
@@ -441,7 +439,7 @@ class StaticVolume:
                     timer.__exit__(None, None, None)
             if output is None:
                 return result_np
-            np.copyto(output, result_np)
+            _finish(result_np, output)
             return output
         import jax.numpy as jnp
 
@@ -481,10 +479,7 @@ class StaticVolume:
         finally:
             if timer:
                 timer.__exit__(None, None, None)
-        if output is None:
-            return result_np
-        np.copyto(output, result_np)
-        return None
+        return _finish(result_np, output)
 
     # ------------------------------------------------------------- transforms
 
