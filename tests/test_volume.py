@@ -102,7 +102,9 @@ def test_cpu_batch_honors_mode_cval_output_profile(small_volume, capsys):
     # non-trivial cval must actually reach the edges
     assert np.isclose(batch[0].ravel().max(), 5.0, atol=1e-6) or (batch[0] == 5.0).any()
     buf = np.empty_like(batch)
-    sv.affine_batch(ms, output=buf)
+    # buffer path returns None, same contract as affine() and the device
+    # branch
+    assert sv.affine_batch(ms, output=buf) is None
     np.testing.assert_allclose(buf, batch, atol=0)
 
 

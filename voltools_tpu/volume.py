@@ -437,10 +437,9 @@ class StaticVolume:
             finally:
                 if timer:
                     timer.__exit__(None, None, None)
-            if output is None:
-                return result_np
-            _finish(result_np, output)
-            return output
+            # returns None when a buffer is supplied, matching affine()
+            # and the device branch below
+            return _finish(result_np, output)
         import jax.numpy as jnp
 
         def assemble(results, expand, concat):
