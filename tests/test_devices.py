@@ -122,3 +122,43 @@ def test_out_of_range_ordinal_is_valueerror(monkeypatch):
                         lambda *a, **k: [FakeTpu(0), FakeTpu(1)])
     with pytest.raises(ValueError, match="tpu:0..tpu:1"):
         general.resolve_device("tpu:8")
+
+
+def test_broken_backend_fallback_survives_error_filters(monkeypatch):
+    """Regression: the broken-backend warning must not escalate past the
+    except handler under `python -W error` — the ['cpu'] fallback contract
+    holds regardless of warning filters."""
+    import warnings
+
+    from voltools_tpu.utils import general
+
+    def broken_jax():
+        raise RuntimeError("backend down")
+
+    monkeypatch.setattr(general, "_jax", broken_jax)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert general.get_available_devices() == ["cpu"]
+
+
+def test_broken_backend_probe_not_frozen(monkeypatch):
+    """Regression: the lru-cached registry froze a transient broken-backend
+    probe (bare ['cpu']) for the process lifetime; it must re-probe until
+    an accelerator registry appears, then cache that."""
+    from voltools_tpu import transforms
+
+    calls = []
+
+    def fake_probe():
+        calls.append(1)
+        return ["cpu"] if len(calls) == 1 else ["cpu", "jax"]
+
+    monkeypatch.setattr(transforms, "get_available_devices", fake_probe)
+    transforms._devices_probe.cache_clear()
+    try:
+        assert transforms._devices() == ["cpu"]          # broken: uncached
+        assert transforms._devices() == ["cpu", "jax"]   # re-probed
+        assert transforms._devices() == ["cpu", "jax"]   # healthy: cached
+        assert len(calls) == 2
+    finally:
+        transforms._devices_probe.cache_clear()

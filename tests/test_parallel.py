@@ -285,3 +285,15 @@ def test_sharded_prefilter_matches_global(mesh):
     got = sv.affine(m)
     want_t = vt.affine(vol, m, interpolation="filt_bspline", device="jax")
     np.testing.assert_allclose(got, want_t, atol=5e-5)
+
+
+def test_sharded_output_buffer_guard(mesh, volume):
+    """A wrong-shaped user buffer raises (np.copyto used to broadcast one
+    transform into every slice); a right-shaped one is filled, returns None."""
+    shv = ShardedVolume(volume, mesh=mesh)
+    m = rotation_matrix((5.0, 0.0, 0.0), "deg", "rzxz")
+    with pytest.raises(ValueError, match="output shape"):
+        shv.affine(m, output=np.empty((2,) + volume.shape, np.float32))
+    buf = np.empty(volume.shape, np.float32)
+    assert shv.affine(m, output=buf) is None
+    np.testing.assert_allclose(buf, shv.affine(m), atol=0)

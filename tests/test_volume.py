@@ -102,9 +102,9 @@ def test_cpu_batch_honors_mode_cval_output_profile(small_volume, capsys):
     # non-trivial cval must actually reach the edges
     assert np.isclose(batch[0].ravel().max(), 5.0, atol=1e-6) or (batch[0] == 5.0).any()
     buf = np.empty_like(batch)
-    # buffer path returns None, same contract as affine() and the device
-    # branch
-    assert sv.affine_batch(ms, output=buf) is None
+    # CPU parity: the buffer path returns the filled array, matching the
+    # CPU affine() contract (device branches return None instead)
+    assert sv.affine_batch(ms, output=buf) is buf
     np.testing.assert_allclose(buf, batch, atol=0)
 
 
@@ -298,6 +298,13 @@ def test_output_shape_mismatch_raises(small_volume):
     wrong_stack = np.empty((3,) + small_volume.shape, np.float32)
     with pytest.raises(ValueError, match="output shape"):
         sv.affine_batch(ms, output=wrong_stack)
+    # the CPU path must raise the same ValueError (scipy's own check is a
+    # RuntimeError; the native backend had no check at all)
+    with pytest.raises(ValueError, match="output shape"):
+        vt.affine(small_volume, m, device="cpu", output=stack_buf)
+    sv_cpu = StaticVolume(small_volume, device="cpu")
+    with pytest.raises(ValueError, match="output shape"):
+        sv_cpu.affine_batch(ms, output=wrong_stack)
 
 
 def test_cpu_prefilter_boundary_honored(small_volume):
@@ -328,3 +335,6 @@ def test_numpy_scalar_coefficients(small_volume):
     got = vt.scale(small_volume, np.float32(1.5), device="jax")
     np.testing.assert_allclose(got, vt.scale(small_volume, 1.5, device="jax"),
                                atol=1e-6)
+    # 0-d numpy arrays are scalars too (np.asarray of a scalar config value)
+    got = sv.scale(np.array(1.5))
+    np.testing.assert_allclose(got, expected, atol=1e-6)

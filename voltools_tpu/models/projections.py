@@ -101,7 +101,6 @@ class TiltSeriesProjector:
         fits = [planner.fit_payload(env, m, self.shape, self.interpolation,
                                     self._mode) for m in ms_np]
         if any(f is None for f in fits):   # pragma: no cover - defensive
-            import jax.numpy as jnp
             return lambda vol, ms: self._project_batch(vol, jnp.asarray(ms))
         n = len(ms_np)
         key = (planner.plan_group_key(env), n)

@@ -564,11 +564,10 @@ class ShardedVolume:
         if isinstance(output, str) and output == "device":
             return result
         result.block_until_ready()
-        out_np = np.asarray(result)
-        if output is None:
-            return out_np
-        np.copyto(output, out_np)
-        return None
+        from ..transforms import _finish
+        # validates the buffer shape (a wrong-shaped buffer must raise,
+        # not broadcast); returns None when a buffer is supplied
+        return _finish(np.asarray(result), output)
 
     def rotate(self, rotation, rotation_units="deg", rotation_order="rzxz",
                output=None):

@@ -52,10 +52,20 @@ Triple = Union[float, Tuple[float, float, float], np.ndarray]
 
 
 @functools.lru_cache(maxsize=1)
-def _devices():
+def _devices_probe():
     # computed lazily so `import voltools_tpu` never initializes a jax
     # backend (device='cpu' users pay nothing)
     return get_available_devices()
+
+
+def _devices():
+    devs = _devices_probe()
+    if "jax" not in devs:
+        # broken-backend fallback (bare ['cpu']): don't freeze it for the
+        # process lifetime — the backend may come up later (transient
+        # tunnel/plugin failures), so let the next construction re-probe
+        _devices_probe.cache_clear()
+    return devs
 
 
 def __getattr__(name):
@@ -67,8 +77,10 @@ def __getattr__(name):
 def _as_triple(value):
     # numbers.Number catches numpy scalars (np.float32(2.0) is not a
     # Python float, so a bare isinstance(int, float) check would skip
-    # the expansion and crash later in the matrix builders)
-    if isinstance(value, numbers.Number):
+    # the expansion and crash later in the matrix builders); a 0-d numpy
+    # array (np.array(1.5)) is not a Number but is a scalar all the same
+    if isinstance(value, numbers.Number) or (
+            isinstance(value, np.ndarray) and value.ndim == 0):
         return (float(value),) * 3
     return value
 
@@ -115,6 +127,15 @@ def _affine_cpu(volume, transform_m, interpolation, reshape, output,
         output_shape = tuple(int(d) for d in output_shape)
     else:
         output_shape = volume.shape
+
+    # same error class as the device path's _finish (scipy would raise a
+    # RuntimeError for the same user mistake; native would write through
+    # a wrong-shaped buffer)
+    if isinstance(output, np.ndarray) and (
+            tuple(output.shape) != tuple(output_shape)):
+        raise ValueError(
+            f"output shape {tuple(output.shape)} does not match result "
+            f"shape {tuple(output_shape)}")
 
     if backend == "native":
         from . import native

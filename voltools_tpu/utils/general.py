@@ -35,9 +35,14 @@ def get_available_devices():
         jax = _jax()
         jax_devices = jax.devices()
     except Exception as e:  # pragma: no cover - no usable jax backend at all
-        warnings.warn("no usable JAX backend found "
-                      f"({type(e).__name__}: {e}); only 'cpu' is available.",
-                      RuntimeWarning, stacklevel=2)
+        try:
+            warnings.warn("no usable JAX backend found "
+                          f"({type(e).__name__}: {e}); only 'cpu' is "
+                          "available.", RuntimeWarning, stacklevel=2)
+        except Exception:
+            # warning filters may escalate warnings to exceptions
+            # (python -W error); the ['cpu'] fallback contract must hold
+            pass
         return devices
 
     devices.append("jax")

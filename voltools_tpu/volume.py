@@ -437,9 +437,14 @@ class StaticVolume:
             finally:
                 if timer:
                     timer.__exit__(None, None, None)
-            # returns None when a buffer is supplied, matching affine()
-            # and the device branch below
-            return _finish(result_np, output)
+            # CPU parity: with output= the filled array is returned, like
+            # every CPU path (reference transforms.py:159-162); only the
+            # device branches return None (reference GPU branch :224-226).
+            # _finish still validates the buffer shape.
+            if output is None:
+                return result_np
+            _finish(result_np, output)
+            return output
         import jax.numpy as jnp
 
         def assemble(results, expand, concat):
