@@ -360,3 +360,24 @@ def test_sirt_mesh_volume_sharded_matches_single():
     rec8_o = sirt_reconstruct(p_o, ms_o, shape_o, iterations=4,
                               nonneg=True, mesh=mesh8)
     np.testing.assert_allclose(rec8_o, rec1_o, atol=5e-5)
+
+
+def test_projector_callable_honors_foreign_matrices():
+    """Regression: the callable from _projector_for froze the planning-time
+    per-matrix fits; handing it OTHER matrices paired fresh payloads with
+    stale kax/y_lo bands (silently wrong projections).  It must re-plan."""
+    rng = np.random.default_rng(11)
+    vol = rng.random((24, 24, 24)).astype(np.float32)
+    proj = TiltSeriesProjector(vol, interpolation="linear", device="jax")
+    ms_a = proj.tilt_matrices([-30.0, 15.0], tilt_axis=1)
+    ms_b = proj.tilt_matrices([40.0, -5.0], tilt_axis=1)
+    p = proj._projector_for(ms_a)
+    got = np.asarray(p(proj.data, ms_b))
+    want = np.asarray(proj.project([40.0, -5.0], tilt_axis=1))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # different length: re-plans from scratch rather than feeding an
+    # n=2 batched program three matrices
+    ms_c = proj.tilt_matrices([0.0, 25.0, -25.0], tilt_axis=1)
+    got3 = np.asarray(p(proj.data, ms_c))
+    want3 = np.asarray(proj.project([0.0, 25.0, -25.0], tilt_axis=1))
+    np.testing.assert_allclose(got3, want3, atol=1e-5)

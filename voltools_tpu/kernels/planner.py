@@ -170,23 +170,22 @@ def prepared_source(volume, plan: Plan, cache: dict, lock=None):
     """Cached prepared HBM source layout for ``plan`` over a resident
     ``volume``: pays the transpose/pad/stack once per layout key.  Shared
     by StaticVolume and TiltSeriesProjector so the caching (and its
-    thread-safety, when a ``lock`` is supplied) lives in one place."""
-    import jax
+    thread-safety, when a ``lock`` is supplied) lives in one place.
+
+    The build runs UNDER the lock: the prepared layout can be several
+    x-shifted copies of the whole volume in HBM, so racing first-touch
+    builds would transiently double that footprint (and the work).
+    ``plan_prepare`` already dispatches through a jitted, lru-cached
+    preparer per layout key, so no extra jit wrapper is needed here."""
+    import contextlib
     key = plan_layout_key(plan)
     if key is None:
         return volume
-    if lock is not None:
-        with lock:
-            prep = cache.get(key)
-    else:
+    with (lock if lock is not None else contextlib.nullcontext()):
         prep = cache.get(key)
-    if prep is None:
-        prep = jax.jit(lambda vol: plan_prepare(vol, plan))(volume)
-        if lock is not None:
-            with lock:
-                prep = cache.setdefault(key, prep)
-        else:
-            prep = cache.setdefault(key, prep)
+        if prep is None:
+            prep = plan_prepare(volume, plan)
+            cache[key] = prep
     return prep
 
 

@@ -121,9 +121,31 @@ class TiltSeriesProjector:
                 return _reduce(_batch(prepared, payloads))
 
             self._variant_projectors[key] = cached
+
         # hand the already-validated fits to the closure so each sweep pays
-        # the per-matrix host planning once, not twice
-        return lambda vol, ms, _c=cached, _plans=fits: _c(vol, ms, _plans)
+        # the per-matrix host planning once, not twice — but honor the
+        # documented contract for callers that reuse the callable with
+        # OTHER matrices: kax/y_lo bands are per-matrix, so serving the
+        # planning-time fits for foreign matrices would be silently wrong
+        planned = np.asarray(ms_np, np.float32)
+
+        def bound(vol, ms, _c=cached, _plans=fits, _planned=planned,
+                  _env=env):
+            ms_arr = np.asarray(ms, np.float32)
+            if ms_arr.shape != _planned.shape:
+                # different sweep length: the batched program is built for
+                # n matrices — re-plan from scratch
+                return self._projector_for(ms_arr)(vol, ms_arr)
+            plans = _plans
+            if not np.array_equal(ms_arr, _planned):
+                plans = [planner.fit_payload(_env, m, self.shape,
+                                             self.interpolation, self._mode)
+                         for m in ms_arr]
+                if any(p is None for p in plans):
+                    return self._project_batch(vol, jnp.asarray(ms))
+            return _c(vol, ms, plans)
+
+        return bound
 
     def tilt_matrices(self, angles_deg: Sequence[float],
                       tilt_axis: int = 1) -> np.ndarray:
