@@ -381,3 +381,59 @@ def test_projector_callable_honors_foreign_matrices():
     got3 = np.asarray(p(proj.data, ms_c))
     want3 = np.asarray(proj.project([0.0, 25.0, -25.0], tilt_axis=1))
     np.testing.assert_allclose(got3, want3, atol=1e-5)
+
+
+def test_reconstruct_projection_axis_normalized():
+    """Regression: negative (numpy-style) projection_axis silently corrupted
+    the keep-axes geometry (keep-list compares against range(3) literals)."""
+    from voltools_tpu.models import (TiltSeriesProjector, sirt_reconstruct,
+                                     wbp_reconstruct)
+    rng = np.random.default_rng(5)
+    vol = rng.random((16, 16, 16)).astype(np.float32)
+    proj = TiltSeriesProjector(vol, device="jax")
+    ms = proj.tilt_matrices([-20.0, 0.0, 20.0], tilt_axis=1)
+    p = np.asarray(proj.project([-20.0, 0.0, 20.0], tilt_axis=1))
+    a = wbp_reconstruct(p, ms, vol.shape, projection_axis=0, device="jax")
+    b = wbp_reconstruct(p, ms, vol.shape, projection_axis=-3, device="jax")
+    np.testing.assert_array_equal(a, b)
+    s0 = sirt_reconstruct(p, ms, vol.shape, iterations=2, projection_axis=0,
+                          device="jax")
+    s3 = sirt_reconstruct(p, ms, vol.shape, iterations=2, projection_axis=-3,
+                          device="jax")
+    np.testing.assert_array_equal(s0, s3)
+    with pytest.raises(ValueError, match="projection_axis"):
+        wbp_reconstruct(p, ms, vol.shape, projection_axis=3, device="jax")
+    with pytest.raises(ValueError, match="projection_axis"):
+        sirt_reconstruct(p, ms, vol.shape, projection_axis=-4, device="jax")
+
+
+def test_reconstruct_output_contract():
+    """Regression: wbp/sirt ignored a numpy output buffer (left it stale)
+    and treated misspelled output strings as None."""
+    from voltools_tpu.models import (TiltSeriesProjector, sirt_reconstruct,
+                                     wbp_reconstruct)
+    rng = np.random.default_rng(6)
+    vol = rng.random((12, 12, 12)).astype(np.float32)
+    proj = TiltSeriesProjector(vol, device="jax")
+    ms = proj.tilt_matrices([-15.0, 15.0], tilt_axis=1)
+    p = np.asarray(proj.project([-15.0, 15.0], tilt_axis=1))
+    want = wbp_reconstruct(p, ms, vol.shape, device="jax")
+    buf = np.zeros(vol.shape, np.float32)
+    assert wbp_reconstruct(p, ms, vol.shape, output=buf,
+                           device="jax") is None
+    np.testing.assert_array_equal(buf, want)
+    sw = sirt_reconstruct(p, ms, vol.shape, iterations=2, device="jax")
+    sbuf = np.zeros(vol.shape, np.float32)
+    assert sirt_reconstruct(p, ms, vol.shape, iterations=2,
+                            output=sbuf, device="jax") is None
+    np.testing.assert_array_equal(sbuf, sw)
+    with pytest.raises(ValueError, match="output"):
+        wbp_reconstruct(p, ms, vol.shape, output="Device", device="jax")
+    with pytest.raises(ValueError, match="output shape"):
+        wbp_reconstruct(p, ms, vol.shape, device="jax",
+                        output=np.zeros((2,) + vol.shape, np.float32))
+    # sirt validates inputs like wbp now
+    with pytest.raises(ValueError, match="projections"):
+        sirt_reconstruct(p[0], ms[:1], vol.shape, device="jax")
+    with pytest.raises(ValueError, match="out_shape"):
+        sirt_reconstruct(p, ms, (12, 12), device="jax")

@@ -297,3 +297,14 @@ def test_sharded_output_buffer_guard(mesh, volume):
     buf = np.empty(volume.shape, np.float32)
     assert shv.affine(m, output=buf) is None
     np.testing.assert_allclose(buf, shv.affine(m), atol=0)
+
+
+def test_sharded_thin_volume_mirror_pad_error(mesh):
+    """Regression: a volume too thin to mirror-pad to the mesh multiple
+    crashed with an opaque device_put sharding error; it must raise a
+    ValueError naming the constraint (mode='border' zero-pads fine)."""
+    thin = np.random.default_rng(0).random((7, 16, 16)).astype(np.float32)
+    with pytest.raises(ValueError, match="mirror-pad"):
+        ShardedVolume(thin, mesh=mesh)
+    shv = ShardedVolume(thin, mesh=mesh, mode="border")
+    assert shv.shape == (7, 16, 16)

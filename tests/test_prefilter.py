@@ -75,3 +75,12 @@ def test_tiny_axes_do_not_crash(rng):
         out = np.asarray(bspline_prefilter(vol, "mirror", method))
         assert out.shape == vol.shape
         assert np.isfinite(out).all()
+
+
+def test_prefilter_fir_rejects_clamp():
+    """Regression: prefilter_fir accepted boundary='clamp' but its FIR
+    formulation is mirror-only (~5e-2 edge error vs the exact scan); it
+    must raise instead of silently returning wrong edge coefficients."""
+    x = np.random.default_rng(1).random((8, 8, 8)).astype(np.float32)
+    with pytest.raises(ValueError, match="mirror"):
+        prefilter_fir(x, 0, "clamp")

@@ -217,3 +217,17 @@ def test_register_coarse_level_edge_clamped():
     res = register(v, v, model="translation", edge=5, levels=3, steps=2,
                    init_translation=None)
     assert np.isfinite(np.asarray(res.loss_history)).all()
+
+
+def test_register_filt_bspline_prefilters_once():
+    """Regression: the level program re-ran the 3-axis B-spline prefilter
+    (and its gradient) inside every Adam step; it must prefilter once per
+    level and still converge identically (the math is unchanged)."""
+    ref = _smooth((20, 20, 20), seed=8)
+    t = np.asarray([0.7, -0.4, 0.2], np.float32)
+    mov = np.asarray(affine_sample(ref, _content_shift_matrix(-t),
+                                   "filt_bspline"))
+    res = register(mov, ref, model="translation", steps=100, lr=0.05,
+                   interpolation="filt_bspline", loss="mse")
+    np.testing.assert_allclose(res.params["t"], t, atol=0.06)
+    assert res.loss_history[-1] < res.loss_history[0]

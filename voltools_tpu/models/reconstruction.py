@@ -49,6 +49,32 @@ def ramp_filter(projections, axis: int = -1, window: str = "ramlak"):
     return jnp.real(out).astype(jnp.float32)
 
 
+def _norm_axis(projection_axis) -> int:
+    """Validate and normalize a (possibly negative, numpy-style) axis to
+    {0, 1, 2}.  The keep-axes computations below compare against literal
+    range(3) values, so an unnormalized -3/-2 would silently corrupt the
+    adjoint geometry instead of erroring."""
+    axis = int(projection_axis)
+    if not -3 <= axis <= 2:
+        raise ValueError(
+            f"projection_axis must be in [-3, 2], got {projection_axis!r}")
+    return axis % 3
+
+
+def _result_out(result, output):
+    """The library's output contract for device results: None -> host
+    numpy; 'device' -> the device array; a numpy buffer -> validated fill
+    (returns None).  Any other string is an error, not a silent None."""
+    if isinstance(output, str):
+        if output == "device":
+            return result
+        raise ValueError(
+            f"output must be None, 'device', or a numpy array to fill, "
+            f"got {output!r}")
+    from ..transforms import _finish
+    return _finish(np.asarray(result), output)
+
+
 def _make_adjoint(minv, keep, out_shape, proj_shape,
                   _force_general: bool = False):
     """The back-projection operator ``(projs, minvs) -> volume`` shared by
@@ -232,6 +258,7 @@ def wbp_reconstruct(projections, matrices, out_shape,
     out_shape = tuple(int(s) for s in out_shape)
     if len(out_shape) != 3:
         raise ValueError("out_shape must be 3-D")
+    projection_axis = _norm_axis(projection_axis)
     n_tilt = projections.shape[0]
 
     # the projection's (row, col) are the non-integrated output axes, in
@@ -335,9 +362,7 @@ def wbp_reconstruct(projections, matrices, out_shape,
         result = jax.jit(_shard_map(body, mesh=mesh,
                                     in_specs=(P(axis), P(axis)),
                                     out_specs=P()))(proj_dev, minv_dev)
-    if isinstance(output, str) and output == "device":
-        return result
-    return np.asarray(result)
+    return _result_out(result, output)
 
 
 def sirt_reconstruct(projections, matrices, out_shape,
@@ -379,9 +404,14 @@ def sirt_reconstruct(projections, matrices, out_shape,
 
     projections = np.asarray(projections, np.float32)
     matrices = np.asarray(matrices, np.float32)
+    if projections.ndim != 3:
+        raise ValueError("projections must be (N, H', W')")
     if matrices.shape != (projections.shape[0], 4, 4):
         raise ValueError("matrices must be (N, 4, 4) matching projections")
     out_shape = tuple(int(s) for s in out_shape)
+    if len(out_shape) != 3:
+        raise ValueError("out_shape must be 3-D")
+    projection_axis = _norm_axis(projection_axis)
     n_tilt = projections.shape[0]
     keep = [a for a in range(3) if a != projection_axis]
     minv = np.stack([np.linalg.inv(m) for m in matrices]).astype(np.float32)
@@ -455,9 +485,7 @@ def sirt_reconstruct(projections, matrices, out_shape,
     x0 = (jnp.zeros(out_shape, jnp.float32) if initial is None
           else jax.device_put(jnp.asarray(initial, jnp.float32), dev))
     result = run(proj_dev, ms_dev, minv_dev, x0)
-    if isinstance(output, str) and output == "device":
-        return result
-    return np.asarray(result)
+    return _result_out(result, output)
 
 
 def _sirt_mesh(projections, matrices, minv, out_shape, iterations, relax,
@@ -567,6 +595,4 @@ def _sirt_mesh(projections, matrices, minv, out_shape, iterations, relax,
     result = fn(proj_dev, ms_dev, minv_dev, x0)
     if padz:
         result = result[:D]
-    if isinstance(output, str) and output == "device":
-        return result
-    return np.asarray(result)
+    return _result_out(result, output)

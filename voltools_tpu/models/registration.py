@@ -214,32 +214,45 @@ def _level_program(shape: Tuple[int, int, int], model: str,
     nothing."""
     center = tuple((s - 1) / 2.0 for s in shape)
 
+    from ..ops.interpolation import needs_prefilter
+    prefiltered = needs_prefilter(interpolation)
+
     def objective(theta, moving, reference):
         m = _theta_to_matrix(theta, model, center)
-        out = affine_sample(moving, m, interpolation)
+        # run() hands objective a volume already converted to B-spline
+        # coefficients when the mode needs it (once per level, not per step)
+        out = affine_sample(moving, m, interpolation, prefiltered=prefiltered)
         return _loss_fn(_crop(out, edge), _crop(reference, edge), loss)
 
     grad = jax.value_and_grad(objective)
     b1, b2, eps = 0.9, 0.999, 1e-8
 
-    def step(carry, i):
-        theta, m, v, moving, reference = carry
-        l, g = grad(theta, moving, reference)
-        m = b1 * m + (1 - b1) * g
-        v = b2 * v + (1 - b2) * g * g
-        t = i + 1.0
-        mhat = m / (1 - b1 ** t)
-        vhat = v / (1 - b2 ** t)
-        # cosine decay: Adam's unit-sized steps otherwise orbit the optimum
-        # at ~lr distance forever; decaying to 0 converges tightly
-        lr_i = lr * 0.5 * (1.0 + jnp.cos(jnp.pi * i / steps))
-        theta = theta - lr_i * mhat / (jnp.sqrt(vhat) + eps)
-        return (theta, m, v, moving, reference), l
-
     def run(moving, reference, theta0):
+        if prefiltered:
+            # convert to coefficients ONCE per level, not inside every
+            # Adam step: sampling with prefiltered=True skips the 3-axis
+            # prefilter (and its gradient) that objective() would
+            # otherwise re-run per scan iteration
+            from ..ops.prefilter import bspline_prefilter
+            moving = bspline_prefilter(moving, boundary="mirror")
+
+        def step(carry, i):
+            theta, m, v = carry
+            l, g = grad(theta, moving, reference)
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * g * g
+            t = i + 1.0
+            mhat = m / (1 - b1 ** t)
+            vhat = v / (1 - b2 ** t)
+            # cosine decay: Adam's unit-sized steps otherwise orbit the
+            # optimum at ~lr distance forever; decaying to 0 converges
+            # tightly
+            lr_i = lr * 0.5 * (1.0 + jnp.cos(jnp.pi * i / steps))
+            theta = theta - lr_i * mhat / (jnp.sqrt(vhat) + eps)
+            return (theta, m, v), l
+
         z = jnp.zeros_like(theta0)
-        carry = (theta0, z, z, moving, reference)
-        carry, hist = lax.scan(step, carry,
+        carry, hist = lax.scan(step, (theta0, z, z),
                                jnp.arange(steps, dtype=jnp.float32))
         return carry[0], hist
 

@@ -148,7 +148,17 @@ def _fir_matrix(n: int, half_width: int, boundary: str):
 
 
 def prefilter_fir(volume, axis: int, boundary: str = "mirror"):
-    """One prefilter pass along ``axis`` as a Toeplitz matmul (MXU path)."""
+    """One prefilter pass along ``axis`` as a Toeplitz matmul (MXU path).
+
+    Mirror boundary only: the FIR formulation assumes the boundary
+    extension commutes with the causal/anticausal cascade, which fails for
+    the clamped anticausal initialisation (~5e-2 edge error) — use
+    :func:`prefilter_scan` (or :func:`bspline_prefilter`, which routes
+    automatically) for ``'clamp'``."""
+    if boundary != "mirror":
+        raise ValueError(
+            f"prefilter_fir supports boundary='mirror' only (got "
+            f"{boundary!r}); use prefilter_scan or bspline_prefilter")
     n = volume.shape[axis]
     if n < 2:
         return volume

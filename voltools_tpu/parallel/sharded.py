@@ -256,6 +256,16 @@ class ShardedVolume:
         pad = (-data.shape[0]) % n
         if pad and pad < 2:
             pad += n
+        if pad and mode != "border" and pad > data.shape[0] - 1:
+            # mirror extension reads plane d0-2-k: only d0-1 planes exist
+            # to reflect, so thinner volumes cannot be mode-correctly
+            # padded (the clamped slice would silently produce a
+            # wrong-length array and an opaque device_put error)
+            raise ValueError(
+                f"volume depth {data.shape[0]} is too small to mirror-pad "
+                f"to a multiple of the {n}-device mesh (pad {pad} planes "
+                f"needed, at most {data.shape[0] - 1} available); use a "
+                f"smaller mesh, a deeper volume, or mode='border'")
         self._pad = pad
         self._d0p = data.shape[0] + pad
 
