@@ -281,7 +281,10 @@ class _State:
                        f"output"),
             "value": round(mean_lin, 3),
             "unit": "ms",
-            "vs_baseline": round(BASELINE_STATIC_MS / mean_lin, 2),
+            # tunnel noise can round a slope to 0.0: never let a division
+            # kill the run (emit fires after EVERY measurement)
+            "vs_baseline": (round(BASELINE_STATIC_MS / mean_lin, 2)
+                            if mean_lin > 0 else None),
             "per_rotation_ms": lin,
             "worst_ms": round(max(lin), 3),
             "cubic_ms": round(mean_cub, 3) if mean_cub else None,

@@ -162,3 +162,33 @@ def test_broken_backend_probe_not_frozen(monkeypatch):
         assert len(calls) == 2
     finally:
         transforms._devices_probe.cache_clear()
+
+
+def test_available_devices_not_corruptible():
+    """Regression: AVAILABLE_DEVICES handed out the cached list itself;
+    caller mutation broke device validation for the rest of the process."""
+    import voltools_tpu as vt
+
+    devs = vt.AVAILABLE_DEVICES
+    assert "cpu" in devs
+    devs.clear()
+    assert "cpu" in vt.AVAILABLE_DEVICES
+
+
+def test_resolve_device_malformed_ordinal(monkeypatch):
+    """Regression: 'tpu:' (empty ordinal) silently bound tpu:0."""
+    import jax
+    import pytest
+
+    from voltools_tpu.utils import general
+
+    class FakeTpu:
+        platform = "tpu"
+        id = 0
+
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [FakeTpu()])
+    assert general.resolve_device("tpu:0") is not None
+    with pytest.raises(ValueError, match="tpu:"):
+        general.resolve_device("tpu:")
+    with pytest.raises(ValueError):
+        general.resolve_device("tpu:x")

@@ -338,3 +338,65 @@ def test_numpy_scalar_coefficients(small_volume):
     # 0-d numpy arrays are scalars too (np.asarray of a scalar config value)
     got = sv.scale(np.array(1.5))
     np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+def test_output_arg_validated_upfront():
+    """Regression: typo'd output strings (and output='device' on a CPU
+    volume) crashed with AttributeError deep in the copy-out helper."""
+    vol = np.random.default_rng(0).random((8, 8, 8)).astype(np.float32)
+    m = rotation_matrix((5.0, 0.0, 0.0), "deg", "rzxz")
+    ms = np.stack([m, m])
+    sv = StaticVolume(vol, device="jax")
+    with pytest.raises(ValueError, match="output"):
+        sv.affine(m, output="Device")
+    with pytest.raises(ValueError, match="output"):
+        sv.affine_batch(ms, output="dev")
+    sv_cpu = StaticVolume(vol, device="cpu")
+    with pytest.raises(ValueError, match="jax device"):
+        sv_cpu.affine_batch(ms, output="device")
+    # int buffers would silently truncate float results: clear error
+    with pytest.raises(ValueError, match="dtype"):
+        sv.affine(m, output=np.empty(vol.shape, np.int32))
+
+
+def test_affine_batch_empty_stack():
+    """Regression: a dynamically-computed empty sweep crashed inside
+    np.stack/np.concatenate instead of returning an empty stack."""
+    vol = np.random.default_rng(0).random((8, 8, 8)).astype(np.float32)
+    empty = np.zeros((0, 4, 4), np.float32)
+    for dev in ("cpu", "jax"):
+        sv = StaticVolume(vol, device=dev)
+        out = sv.affine_batch(empty)
+        assert out.shape == (0,) + vol.shape
+    sv = StaticVolume(vol, device="jax")
+    assert sv.affine_batch(empty, output="device").shape == (0,) + vol.shape
+
+
+def test_cpu_volume_does_not_alias_input():
+    """Regression: the non-prefiltered CPU volume aliased the caller's
+    array — mutating the input after construction changed results — and
+    kept the input dtype instead of the device path's float32."""
+    vol64 = np.random.default_rng(0).random((8, 8, 8))  # float64
+    sv = StaticVolume(vol64, device="cpu")
+    assert sv.data.dtype == np.float32
+    m = rotation_matrix((10.0, 0.0, 0.0), "deg", "rzxz")
+    before = sv.affine(m)
+    assert before.dtype == np.float32
+    vol64 *= 0.0
+    np.testing.assert_array_equal(sv.affine(m), before)
+
+
+def test_scalar_triples_everywhere():
+    """Regression: transform() only expanded scale/shear; scalar
+    translation/rotation/center (all annotated Triple) crashed with a 0-d
+    IndexError from the matrix builders."""
+    vol = np.random.default_rng(0).random((8, 8, 8)).astype(np.float32)
+    got = vt.transform(vol, translation=2.0, rotation=15.0, center=3.5,
+                       scale=1.1, device="jax")
+    want = vt.transform(vol, translation=(2.0,) * 3, rotation=(15.0,) * 3,
+                        center=(3.5,) * 3, scale=(1.1,) * 3, device="jax")
+    np.testing.assert_array_equal(got, want)
+    sv = StaticVolume(vol, device="jax")
+    np.testing.assert_allclose(sv.transform(translation=1.0, rotation=5.0),
+                               sv.transform(translation=(1.0,) * 3,
+                                            rotation=(5.0,) * 3), atol=0)

@@ -592,9 +592,10 @@ class ShardedVolume:
         center = kwargs.pop("center", None)
         if center is None:
             center = np.divide(np.subtract(self.shape, 1), 2, dtype=np.float32)
-        kwargs["scale"] = _as_triple(kwargs.get("scale"))
-        kwargs["shear"] = _as_triple(kwargs.get("shear"))
-        m = transform_matrix(center=center, **kwargs)
+        for k in ("scale", "shear", "rotation", "translation"):
+            if k in kwargs:
+                kwargs[k] = _as_triple(kwargs[k])
+        m = transform_matrix(center=_as_triple(center), **kwargs)
         return self.affine(m, output)
 
 

@@ -65,7 +65,10 @@ def _devices():
         # process lifetime — the backend may come up later (transient
         # tunnel/plugin failures), so let the next construction re-probe
         _devices_probe.cache_clear()
-    return devs
+    # a copy: the cached list must not be corruptible through the public
+    # AVAILABLE_DEVICES attribute (devs.remove(...) would otherwise break
+    # device validation for the rest of the process)
+    return list(devs)
 
 
 def __getattr__(name):
@@ -96,6 +99,12 @@ def _finish(result_np, output):
         raise ValueError(
             f"output shape {tuple(output.shape)} does not match result "
             f"shape {tuple(result_np.shape)}")
+    if not np.can_cast(result_np.dtype, output.dtype, casting="same_kind"):
+        # a clear error instead of np.copyto's raw TypeError (an int
+        # buffer would silently truncate float results if force-cast)
+        raise ValueError(
+            f"output dtype {output.dtype} cannot hold {result_np.dtype} "
+            f"results without unsafe casting")
     np.copyto(output, result_np)
     return None
 
@@ -439,8 +448,11 @@ def transform(volume: np.ndarray,
     """
     if center is None:
         center = np.divide(np.subtract(volume.shape, 1), 2, dtype=np.float32)
-    m = transform_matrix(_as_triple(scale), _as_triple(shear), rotation,
-                         rotation_units, rotation_order, translation, center)
+    # every Triple-typed parameter accepts a scalar (uniform expansion),
+    # not just scale/shear — the matrix builders index [0:3]
+    m = transform_matrix(_as_triple(scale), _as_triple(shear),
+                         _as_triple(rotation), rotation_units, rotation_order,
+                         _as_triple(translation), _as_triple(center))
     return affine(volume, m, interpolation, reshape, profile, output, device,
                   mode, cval)
 

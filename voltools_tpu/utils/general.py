@@ -74,7 +74,15 @@ def resolve_device(device: str):
         jax_devices = jax.devices()
         if not _is_tpu_platform(jax_devices[0].platform):
             raise ValueError("No TPU backend available; use device='cpu' or 'jax'")
-        idx = int(device[4:]) if len(device) > 4 else 0
+        if device == "tpu":
+            idx = 0
+        else:
+            try:
+                # 'tpu:' (empty ordinal) and 'tpu:x' are malformed, not tpu:0
+                idx = int(device[4:])
+            except ValueError:
+                raise ValueError(f"Unknown device string: {device!r}") \
+                    from None
         if not 0 <= idx < len(jax_devices):
             raise ValueError(
                 f"Unknown device ({device!r}): only {len(jax_devices)} TPU "

@@ -39,6 +39,29 @@ from .utils import (
 Triple = Union[float, Tuple[float, float, float], np.ndarray]
 
 
+def _check_output_arg(output, device, allow_donate=True):
+    """Reject unknown ``output`` values upfront with the library's clear
+    ValueError (a typo'd string like 'Device' used to surface as an
+    AttributeError deep inside the copy-out helper)."""
+    if output is None or isinstance(output, np.ndarray):
+        return
+    if isinstance(output, str):
+        if output == "device":
+            if device == "cpu":
+                raise ValueError("output='device' requires a jax device")
+            return
+        raise ValueError(
+            "output must be None, a numpy array to fill, 'device', or a "
+            f"donated device array; got {output!r}")
+    if allow_donate and device != "cpu":
+        import jax
+        if isinstance(output, jax.Array):
+            return
+    raise ValueError(
+        "output must be None, a numpy array to fill, or 'device'; got "
+        f"{type(output).__name__}")
+
+
 class StaticVolume:
     """Keeps a (prefiltered) volume resident on a device for cheap repeated
     transforms.  ``reshape`` is not available on this API (see module doc)."""
@@ -100,7 +123,11 @@ class StaticVolume:
                 self._cpu_interp = ("bspline" if interpolation == "filt_bspline"
                                     else "bspline_simple")
             else:
-                self.data = data
+                # private float32 copy: the class documents a RESIDENT
+                # volume, so later caller mutation of the input must not
+                # change results (and CPU results match the device path's
+                # float32, not the input dtype)
+                self.data = np.array(data, np.float32)
                 self._cpu_interp = interpolation
             return
 
@@ -374,6 +401,7 @@ class StaticVolume:
         caller-provided GPU output (``volume.py:72-75``): chain
         ``out = sv.affine(m, output=out)`` for an allocation-free sweep.
         The donated array is consumed and must not be used afterwards."""
+        _check_output_arg(output, self.device)
         if self.device == "cpu":
             return _affine_fn(self.data, transform_m,
                               interpolation=self._cpu_interp,
@@ -424,7 +452,18 @@ class StaticVolume:
         (N, *shape).  TPU-only extension.  Large sweeps are chunked so the
         output stack stays within HBM (chunk size from _BATCH_BYTES_BUDGET);
         ``output='device'`` requires the whole stack to fit."""
+        _check_output_arg(output, self.device, allow_donate=False)
         transform_ms = np.asarray(transform_ms, dtype=np.float32)
+        if transform_ms.shape[0] == 0:
+            # an empty sweep is an empty stack, not a numpy internals error
+            if isinstance(output, str):
+                import jax.numpy as jnp
+                return jnp.zeros((0,) + self.shape, jnp.float32)
+            empty = np.zeros((0,) + self.shape, np.float32)
+            if output is None:
+                return empty
+            _finish(empty, output)
+            return output if self.device == "cpu" else None
         if self.device == "cpu":
             timer = ProfileTimer() if profile else None
             if timer:
@@ -494,9 +533,10 @@ class StaticVolume:
                   profile: bool = False, output=None):
         if center is None:
             center = np.divide(np.subtract(self.shape, 1), 2, dtype=np.float32)
-        m = transform_matrix(_as_triple(scale), _as_triple(shear), rotation,
-                             rotation_units, rotation_order, translation,
-                             center)
+        m = transform_matrix(_as_triple(scale), _as_triple(shear),
+                             _as_triple(rotation), rotation_units,
+                             rotation_order, _as_triple(translation),
+                             _as_triple(center))
         return self.affine(m, profile, output)
 
     def translate(self, translation, profile: bool = False, output=None):
