@@ -557,3 +557,37 @@ def test_chooser_extreme_matrix_no_overflow():
                 assert walk_variant_covers(v, m, shape, "linear",
                                            "constant")
                 assert v.w1 > 0 and v.hy > 0
+
+
+def test_oneshot_failure_degrades_sibling_closures(volume, monkeypatch):
+    """Regression: when one sampler closure's failure released the cap
+    slot, OTHER live closures for the same key kept executing the fused
+    program — the population could exceed the cap.  The fallback state is
+    shared per key, so every closure degrades together."""
+    import voltools_tpu.kernels.pallas_walk as pw
+
+    shape = volume.shape
+    m1 = random_rotation(11, shape)
+    v1 = choose_walk_variant(m1, shape, "linear", "constant", sticky=None,
+                             quantize=False)
+    assert v1 is not None
+    monkeypatch.setattr(pw, "_ONESHOT_RUNNERS", {})
+
+    def _broken_runner(*_a, **_k):
+        def run(volume, cols):
+            raise RuntimeError("simulated compile failure")
+        return run
+
+    monkeypatch.setattr(pw, "_oneshot_runner", _broken_runner)
+    sentinel = object()
+    monkeypatch.setattr(pw, "_eager_walk_sampler",
+                        lambda *a, **k: (lambda vol, m: sentinel))
+    sa = pw.oneshot_walk_sampler(v1, 0.0, False)
+    sb = pw.oneshot_walk_sampler(v1, 0.0, False)   # second closure, same key
+    assert len(pw._ONESHOT_RUNNERS) == 1
+    with pytest.raises(RuntimeError):
+        sa(np.zeros(shape, np.float32), m1)
+    assert len(pw._ONESHOT_RUNNERS) == 0
+    # the sibling must not keep the released fused program alive
+    assert sb(np.zeros(shape, np.float32), m1) is sentinel
+    assert sa(np.zeros(shape, np.float32), m1) is sentinel

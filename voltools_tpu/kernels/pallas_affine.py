@@ -220,11 +220,26 @@ def variant_covers(v: Variant, matrix, vol_shape, interpolation: str,
             and min(math.ceil(spans[1]), v.d[1]) <= v.w1)
 
 
-def _make_kernel(v: Variant, cval: float, batch: int = 0):
+def _make_kernel(v: Variant, cval: float, batch: int = 0,
+                 interpret: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if interpret:
+        # XLA:CPU may rematerialize a floor() into several fusions with
+        # different FMA contraction; at knife-edge coordinates the copies
+        # then disagree by 1, desynchronizing the DMA'd window (or the tap
+        # indices) from the arithmetic computed against it — the same
+        # hazard pallas_walk pins (its kernel observed a double-counted
+        # row tap).  Mosaic keeps scalars as single SSA values, so the
+        # compiled TPU path needs no barrier.
+        def _pin(x):
+            return jax.lax.optimization_barrier(x)
+    else:
+        def _pin(x):
+            return x
 
     # shared scipy-parity helpers — same math the XLA oracle path uses
     from ..ops.interpolation import _mirror_index as _mirror
@@ -271,7 +286,7 @@ def _make_kernel(v: Variant, cval: float, batch: int = 0):
             lo = (base + jnp.minimum(am[r, 1] * 7.0, 0.0)
                   + jnp.minimum(am[r, 2] * 127.0, 0.0))
             o = jnp.floor(lo).astype(jnp.int32) - (2 if order == 3 else 1)
-            return jnp.clip(o, 0, dr - wr)
+            return _pin(jnp.clip(o, 0, dr - wr))
 
         def origins(am, gp, sb, lb):
             return (origin(am, 0, w0, d0, gp, sb, lb),
@@ -336,12 +351,12 @@ def _make_kernel(v: Variant, cval: float, batch: int = 0):
         def coord(r):
             return a[r, 0] * gp + a[r, 1] * sp + a[r, 2] * lp + a[r, 3]
 
-        zf = coord(0)
-        yf = coord(1)
-        xf = coord(2)
-        z0f = jnp.floor(zf)
-        y0f = jnp.floor(yf)
-        x0f = jnp.floor(xf)
+        zf = _pin(coord(0))
+        yf = _pin(coord(1))
+        xf = _pin(coord(2))
+        z0f = _pin(jnp.floor(zf))
+        y0f = _pin(jnp.floor(yf))
+        x0f = _pin(jnp.floor(xf))
         fz = zf - z0f
         fy = yf - y0f
         fx = xf - x0f
@@ -353,7 +368,7 @@ def _make_kernel(v: Variant, cval: float, batch: int = 0):
         # bounded by the chooser's drift limit (|drift| <= _SUB_DRIFT_LIMIT,
         # covered by the slop-widened gather range), NOT by +-1
         xb_row = a[2, 0] * gp + a[2, 1] * sbase + a[2, 2] * lp + a[2, 3]
-        xb = jnp.floor(xb_row).astype(jnp.int32)
+        xb = _pin(jnp.floor(xb_row).astype(jnp.int32))
         dxneed = x0 - xb
 
         if order == 1:
@@ -548,7 +563,7 @@ def _tree_runner(v: Variant, cval: float, batch: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    kernel = _make_kernel(v, cval, batch)
+    kernel = _make_kernel(v, cval, batch, interpret=interpret)
     og, os_, ol = v.out_d
     os_pad = ((os_ + 7) // 8) * 8
     ol_pad = ((ol + 127) // 128) * 128
@@ -614,7 +629,7 @@ def affine_sample_pallas_variant(volume, matrix, v: Variant,
     ol_pad = ((ol + 127) // 128) * 128
     grid = (og, os_pad // 8, ol_pad // 128)
 
-    kernel = _make_kernel(v, cval)
+    kernel = _make_kernel(v, cval, interpret=interpret)
     out = pl.pallas_call(
         kernel,
         grid=grid,

@@ -94,13 +94,6 @@ _YLO_STEP = 4
 _SLOP_LADDER = (0, 1, 2, 3, 4, 6)
 
 
-def _ladder(x, ladder=_SLOP_LADDER):
-    for v in ladder:
-        if x <= v:
-            return v
-    return x
-
-
 @dataclass(frozen=True)
 class WalkVariant:
     """Static plane-walk kernel configuration chosen per matrix (host)."""
@@ -701,6 +694,10 @@ def _fast_warm(fkey):
         np.asarray(core(jax.device_put(dummy, cpu)))
         with _FAST_LOCK:
             _FAST_READY[fkey] = (core, cpu)
+            # bounded like _jit_search's lru: a long-lived service planning
+            # many distinct shapes must not pin every warmed executable
+            while len(_FAST_READY) > 64:
+                _FAST_READY.pop(next(iter(_FAST_READY)))
     except Exception:   # pragma: no cover - any backend hiccup
         with _FAST_LOCK:
             _FAST_BAD.add(fkey)
@@ -725,6 +722,9 @@ def _fast_search(matrices, vol_shape, out_shape, order, mode, quantize):
             if not _FAST_SYNC:
                 th = threading.Thread(target=_fast_warm, args=(fkey,),
                                       daemon=True)
+                # prune finished warms so the list stays O(live threads)
+                _FAST_THREADS[:] = [t for t in _FAST_THREADS
+                                    if t.is_alive()]
                 _FAST_THREADS.append(th)
                 th.start()
     if entry is None:
@@ -827,7 +827,10 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
 
     best = None
     best_cost = np.inf
-    if np.isfinite(cost).any() or np.isfinite(cost_w).any():
+    # the strips costs are computed inside this block, so it must also be
+    # entered when only strips could be feasible (opt-in _CHOOSER_STRIPS)
+    if (np.isfinite(cost).any() or np.isfinite(cost_w).any()
+            or _CHOOSER_STRIPS):
         # strip-window mode: per chunk of cs planes, DMA only the tile's
         # band rows at that chunk (band-following).  Measured slower than
         # classic windows on this hardware (exp_r3_strips) so skipped by
@@ -912,7 +915,10 @@ def choose_walk_variant(matrix, vol_shape, interpolation: str,
                               for c, i in zip(kinds, kis)]))
         flat_i = kis[kind]
         best_cost = float(kinds[kind].flat[flat_i])
-        best = _build(flat_i, kind)
+        if np.isfinite(best_cost):
+            best = _build(flat_i, kind)
+        else:
+            best_cost = np.inf
     elif topk > 1:
         return []
     return _choose_finish(best, best_cost, matrix, matrices, vol_shape,
@@ -933,9 +939,14 @@ def _choose_finish(best, best_cost, matrix, matrices, vol_shape, out_shape,
         # the envelope one slot of headroom and re-validate
         import dataclasses
         new_w1 = (min(best.w1 + 8, best.d[1]) if best.cs else best.w1)
+        # hy MUST stay a multiple of 8 (the kernel reads the band as
+        # ycand 8-row dynamic slices; a ragged hy would read past the
+        # window rows when ybase hits its w1-hy limit) — round the w1
+        # clamp down; never below the original 8-aligned hy
         best = dataclasses.replace(
             best, hz=min(best.hz + _HZ_STEP, best.d[0], best.w0),
-            hy=min(best.hy + 8, _MAX_HY, new_w1), y_lo=best.y_lo - 4,
+            hy=min(best.hy + 8, _MAX_HY, new_w1 // 8 * 8),
+            y_lo=best.y_lo - 4,
             w1=new_w1, sh=new_w1 if best.cs else best.sh)
         if not walk_variant_covers(best, matrices, vol_shape, interpolation,
                                    mode, out_shape=out_shape):
@@ -1088,8 +1099,12 @@ def fit_walk_variant(matrix, vol_shape, interpolation: str, mode: str,
         y_hi_m = yhi_r.max(1)
         E = np.array([8.0 * K.gu - 1.0, K.vb * K.gv - 1.0, K.wb - 1.0],
                      np.float32)
+        # same +3 margin as the chooser's w0 and walk_variant_covers —
+        # a stricter prefilter here only drops valid reuse candidates
+        # (covers is the final gate for every hit), costing a spurious
+        # ~13 s Mosaic recompile per dropped fit
         need_w0 = (np.ceil(aaE[:, 0, :3] @ E).astype(np.int64)
-                   + tapspan + 4 + (K.hz - hz_m))
+                   + tapspan + 3 + (K.hz - hz_m))
         ksweep = (K.cs + 1.0) if K.cs else (K.w0 + 1.0)
         need_w1 = (np.ceil(resM @ E + kapM * ksweep).astype(np.int64)
                    + 3 + K.hy)                           # (36, 4)
@@ -1128,6 +1143,12 @@ def _make_walk_kernel(v: WalkVariant, cval: float, interpret: bool = False,
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    # the band is read as ycand dynamic 8-row slices whose last row is
+    # ybase + ceil(hy/8)*8 - 1: with ybase at its w1-hy (sh-hy) limit, a
+    # ragged hy would read ceil(hy/8)*8 - hy rows PAST the window — fail
+    # loudly at build instead of returning silently wrong samples
+    assert v.hy % 8 == 0, f"band height must be 8-aligned, got hy={v.hy}"
 
     from ..ops.interpolation import _mirror_index as _mirror
     from ..ops.interpolation import cubic_bspline_weights as _bspline_w
@@ -1906,15 +1927,19 @@ def oneshot_walk_sampler(v: WalkVariant, cval: float, prefilter: bool):
     key = (canonical_walk_variant(v), v.ps, v.po, float(cval),
            bool(prefilter))
     with _CANON_LOCK:
-        run = _ONESHOT_RUNNERS.get(key)
-        if run is None:
+        entry = _ONESHOT_RUNNERS.get(key)
+        if entry is None:
             if len(_ONESHOT_RUNNERS) >= _ONESHOT_CAP:
                 return None
-            run = _oneshot_runner(*key)   # lazy jit: no compile yet
-            _ONESHOT_RUNNERS[key] = run
+            # the state dict is SHARED by every closure for this key: when
+            # one closure's failure releases the slot, its fallback flag
+            # degrades all of them, so no live closure keeps executing a
+            # fused program whose cap slot is gone
+            entry = (_oneshot_runner(*key), {})   # lazy jit: no compile yet
+            _ONESHOT_RUNNERS[key] = entry
+    run, state = entry
     permute = _permuter(v.ps, v.po, v.xpad, v.kax)
     y_lo = jnp.int32(v.y_lo)
-    state: dict = {}
 
     def sample(volume, matrix):
         fallback = state.get("fallback")
@@ -1929,7 +1954,7 @@ def oneshot_walk_sampler(v: WalkVariant, cval: float, prefilter: bool):
             # running the fused program (the slot is gone): retries go
             # through the eagerly-composed stages instead.
             with _CANON_LOCK:
-                if _ONESHOT_RUNNERS.get(key) is run:
+                if _ONESHOT_RUNNERS.get(key) is entry:
                     del _ONESHOT_RUNNERS[key]
             state["fallback"] = _eager_walk_sampler(v, cval, prefilter)
             raise
