@@ -261,3 +261,37 @@ def test_profile_blocks_on_device_output(monkeypatch, capsys):
     printed = capsys.readouterr().out
     ms = float(printed.split("finished in ")[1].split("ms")[0])
     assert ms >= 55.0, printed
+
+
+def test_degenerate_tiny_shapes_parity():
+    """Volumes with extents down to 1 (incl. singleton axes) match scipy on
+    every voxel except measure-zero knife edges: on a size-1 axis the valid
+    interval [0, 0] has zero width, so an f32-vs-f64 rounding difference of
+    ~6e-8 in the source coordinate legitimately flips inside/outside (found
+    by fuzzing; scipy itself flips under a 1-ulp matrix perturbation)."""
+    from scipy.ndimage import affine_transform
+
+    from voltools_tpu.utils import transform_matrix
+
+    rng = np.random.default_rng(0)
+    for _ in range(12):
+        shape = tuple(int(x) for x in rng.integers(1, 10, 3))
+        vol = rng.random(shape).astype(np.float32)
+        rot = tuple(float(a) for a in rng.uniform(-90, 90, 3))
+        m = np.asarray(transform_matrix(
+            rotation=rot, rotation_order="rzxz",
+            center=tuple((s - 1) / 2 for s in shape)), np.float32)
+        got = vt.affine(vol, m, interpolation="linear", device="jax")
+        want = affine_transform(vol, m, order=1)
+        grids = list(np.meshgrid(*[np.arange(s) for s in shape],
+                                 indexing="ij"))
+        w = np.stack(grids + [np.ones(shape)], -1).astype(np.float64)
+        src = np.einsum("ij,...j->...i", m.astype(np.float64), w)[..., :3]
+        edge = np.zeros(shape, bool)
+        for a, n in enumerate(shape):
+            c = src[..., a]
+            edge |= (np.abs(c) < 1e-5) | (np.abs(c - (n - 1)) < 1e-5)
+        d = np.abs(got - want)[~edge]
+        assert d.size == 0 or d.max() < 5e-4, (shape, rot, float(d.max()))
+        # reshape must also handle degenerate extents
+        vt.affine(vol, m, interpolation="linear", reshape=True, device="jax")
