@@ -86,3 +86,43 @@ def test_native_output_validation(small_volume):
     with pytest.raises(ValueError, match="shape"):
         native.affine_transform(small_volume, m, "linear",
                                 output=np.zeros((2, 2, 2), np.float32))
+
+
+@pytest.mark.parametrize("n", [2, 3, 4, 5, 8])
+def test_native_prefilter_exact_on_short_lines(n):
+    """Regression: the native causal init truncated the mirror geometric
+    series, missing the periodic fold — up to 0.6 absolute coefficient
+    error at n=2 (decaying through n~16).  The init now folds the whole
+    2n-2 period exactly."""
+    from scipy.ndimage import spline_filter
+
+    from voltools_tpu import native
+    if not native.available():
+        pytest.skip("no native toolchain")
+    x = np.random.default_rng(0).random((n, n, n)).astype(np.float32)
+    want = spline_filter(x, order=3, mode="mirror", output=np.float32)
+    np.testing.assert_allclose(native.bspline_prefilter(x), want, atol=2e-6)
+
+
+def test_border_mode_backends_agree_on_small_shapes():
+    """The two independent mode='border' implementations (XLA sampler and
+    native C++) must agree, including prefiltered cubic on small axes
+    (where the old truncated prefilter init diverged by up to 0.07)."""
+    import voltools_tpu as vt
+    from voltools_tpu import native
+    from voltools_tpu.utils import transform_matrix
+    if not native.available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(3)
+    for shape in ((2, 19, 11), (15, 5, 2), (7, 3, 6)):
+        vol = rng.random(shape).astype(np.float32)
+        m = np.asarray(transform_matrix(
+            rotation=(33.0, -47.0, 121.0), rotation_order="rzxz",
+            translation=(1.2, -0.7, 0.4),
+            center=tuple((s - 1) / 2 for s in shape)), np.float32)
+        for interp in ("linear", "filt_bspline"):
+            a = vt.affine(vol, m, interpolation=interp, device="jax",
+                          mode="border", cval=0.0)
+            b = vt.affine(vol, m, interpolation=interp, device="cpu",
+                          mode="border", cval=0.0, cpu_backend="native")
+            np.testing.assert_allclose(a, b, atol=2e-4)

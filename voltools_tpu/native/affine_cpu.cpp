@@ -170,16 +170,37 @@ void prefilter_line(float* c, int64_t n, int64_t step) {
   if (n < 2) return;
   const double pole = std::sqrt(3.0) - 2.0;
   const double lambda = (1.0 - pole) * (1.0 - 1.0 / pole);
-  const int64_t horizon = (n - 1) < 28 ? (n - 1) : 28;
 
-  // causal init: mirror extension x[-k] = x[k]
-  double sum = c[0];
-  double zn = pole;
-  for (int64_t k = 1; k <= horizon; ++k) {
-    sum += zn * c[k * step];
-    zn *= pole;
+  // causal init, mirror extension x[-k] = x[k]: for short lines the
+  // truncated geometric sum misses the periodic fold (the extension has
+  // period 2n-2), which reaches ~0.6 absolute error at n=2 — fold the
+  // whole period and divide by (1 - pole^(2n-2)) instead.  For long
+  // lines pole^(2n-2) underflows and the 28-tap truncated sum is exact
+  // to double precision.
+  double prev;
+  if (n <= 30) {
+    double s = c[0];
+    double zk = pole;                          // pole^k
+    for (int64_t k = 1; k <= n - 2; ++k) {
+      s += zk * c[k * step];
+      zk *= pole;
+    }
+    s += zk * c[(n - 1) * step];               // zk = pole^(n-1)
+    double zr = zk * pole;                     // pole^n
+    for (int64_t k = n - 2; k >= 1; --k) {     // reflected half-period
+      s += zr * c[k * step];
+      zr *= pole;
+    }                                          // zr = pole^(2n-2)
+    prev = lambda * s / (1.0 - zr);
+  } else {
+    double sum = c[0];
+    double zn = pole;
+    for (int64_t k = 1; k <= 28; ++k) {
+      sum += zn * c[k * step];
+      zn *= pole;
+    }
+    prev = lambda * sum;
   }
-  double prev = lambda * sum;
   c[0] = (float)prev;
   for (int64_t k = 1; k < n; ++k) {
     prev = lambda * c[k * step] + pole * prev;
